@@ -1,0 +1,143 @@
+"""Typed configuration with the reference's hard-coded defaults lifted out.
+
+Every constant below is traceable to the reference (SURVEY.md §5 "Config /
+flag system"): AKAZE params feature_extraction/src/lib.rs:64-73, max points
+2^18−1 lib.rs:12-13, γ=1/2.2 geotiff_extractor/.../mod.rs:14, default tile
+scaling 1024² + band order mod.rs:66-73, homography reprojection threshold
+3.0 homographier/.../mod.rs:248, minimum LoD resolution 500
+preprocessor/src/level_of_detail.rs:4.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# Reference: feature_extraction/src/lib.rs:12-13
+MAX_POINTS_SHIFT = 18
+MAX_POINTS = (1 << MAX_POINTS_SHIFT) - 1  # 262,143
+
+# Reference: geotiff_extractor/src/image_extractor/mod.rs:14
+GAMMA_VALUE = 1.0 / 2.2
+
+# Reference: preprocessor/src/level_of_detail.rs:4
+MINIMUM_RESOLUTION = 500
+
+# Packed MLDB descriptor: 486 bits → 61 bytes (full-size, 3 channels).
+MLDB_BITS = 486
+DESC_BYTES = 61
+# Device-side unpacked layout is padded to a lane-friendly 512 bits.
+DESC_BITS_PADDED = 512
+
+
+@dataclasses.dataclass(frozen=True)
+class AkazeConfig:
+    """AKAZE detector/descriptor parameters.
+
+    Defaults replicate the reference's creation call
+    (feature_extraction/src/lib.rs:64-73): DESCRIPTOR_MLDB, full descriptor
+    (486 bits), 3 channels, threshold 0.001, 4 octaves, 4 sublevels,
+    PM-G2 diffusivity, max_points = 2^18−1.
+    """
+
+    threshold: float = 0.001
+    octaves: int = 4
+    sublevels: int = 4
+    diffusivity: str = "pm_g2"      # perona-malik g2: 1 / (1 + (|∇L|/k)^2)
+    descriptor_channels: int = 3
+    descriptor_pattern_size: int = 10
+    max_points: int = MAX_POINTS
+    # Practical per-call static capacity (device output shape). The
+    # reference cap (2^18−1) is the semantic limit; per-tile extraction
+    # rarely exceeds a few thousand, so pipelines pick smaller capacities.
+    capacity: int = 8192
+    soffset: float = 1.6            # base scale σ₀
+    derivative_factor: float = 1.5
+    kcontrast_percentile: float = 0.7
+    kcontrast_nbins: int = 300
+    fed_tau_max: float = 0.25
+
+    @property
+    def num_levels(self) -> int:
+        return self.octaves * self.sublevels
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Descriptor matching parameters.
+
+    knn ratio test semantics follow get_knn_matches
+    (feature_extraction/src/lib.rs:94-114): keep m₀ iff
+    d₀ < d₁ · filter_strength. Crosscheck BF follows
+    get_bruteforce_matches (lib.rs:116-126): mutual nearest neighbours.
+    """
+
+    k: int = 2
+    ratio: float = 0.3              # reference test uses 0.3 (lib.rs:289)
+    crosscheck: bool = False
+    db_block: int = 65536           # descriptors per device tile for big DBs
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    """Vectorized RANSAC homography parameters.
+
+    Default reprojection threshold 3.0 follows find_homography_mat
+    (homographier/src/homographier/mod.rs:248). The reference defers to
+    OpenCV's sequential adaptive RANSAC; TPU-native is a fixed batch of
+    hypotheses scored in parallel (SURVEY.md §7 hard part #2).
+    """
+
+    reproj_threshold: float = 3.0
+    num_hypotheses: int = 512
+    min_points: int = 4
+    refine_iters: int = 3           # masked-DLT refinement rounds on inliers
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class PnPConfig:
+    """PnP-RANSAC parameters (EPnP hypotheses).
+
+    Mirrors pnp_solver_ransac's knobs (homographier mod.rs:320-369):
+    iteration count, reprojection threshold, confidence — recast as a
+    fixed hypothesis batch.
+    """
+
+    reproj_threshold: float = 8.0   # OpenCV solvePnPRansac default
+    num_hypotheses: int = 256
+    sample_size: int = 6            # ≥6 gives EPnP a well-posed system
+    refine_iters: int = 5           # Gauss-Newton on inliers
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class MosaicConfig:
+    """Raster ingestion options.
+
+    Mirrors DatasetOptions defaults (geotiff_extractor mod.rs:66-73):
+    1024×1024 tile scaling, band order (1, 2, 3).
+    """
+
+    tile_size: Tuple[int, int] = (1024, 1024)
+    bands: Tuple[int, int, int] = (1, 2, 3)
+    gamma: float = GAMMA_VALUE
+
+
+@dataclasses.dataclass(frozen=True)
+class CalibConfig:
+    """Zhang-method calibration parameters (calibrator/src/main.rs)."""
+
+    min_images: int = 10            # reference asserts ≥10 (main.rs:30-34)
+    lm_iters: int = 30
+    lm_lambda0: float = 1e-3
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    akaze: AkazeConfig = AkazeConfig()
+    match: MatchConfig = MatchConfig()
+    ransac: RansacConfig = RansacConfig()
+    pnp: PnPConfig = PnPConfig()
+    mosaic: MosaicConfig = MosaicConfig()
+    calib: CalibConfig = CalibConfig()

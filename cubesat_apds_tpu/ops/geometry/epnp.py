@@ -1,0 +1,196 @@
+"""Batched EPnP: pose from n≥4 3D–2D correspondences, no iterative init.
+
+TPU-native replacement for OpenCV SOLVEPNP_EPNP, the default solver inside
+pnp_solver_ransac (reference: homographier/src/homographier/mod.rs:347-361).
+Everything is fixed-shape small linear algebra (12×12 eigh, 3×3 SVD) so the
+whole solver batches over hypotheses with vmap (SURVEY.md §7 hard part #4).
+
+Algorithm (Lepetit, Moreno-Noguer, Fua — "EPnP: An Accurate O(n) Solution
+to the PnP Problem", IJCV 2009):
+  1. Express world points barycentrically in 4 control points.
+  2. 2n×12 linear system M x = 0 on camera-frame control points.
+  3. Candidate solutions from the ≤4-dim nullspace of MᵀM; solve the β
+     combination cases N ∈ {1, 2, 3}, Gauss-Newton refine.
+  4. Absolute orientation (Horn/Procrustes) world → camera for each case,
+     keep the lowest-reprojection-error pose.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cubesat_apds_tpu.ops.geometry.rodrigues import matrix_to_rodrigues
+
+# Control-point distance constraint index pairs (6 pairs of 4 points).
+_PAIRS = jnp.array([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)])
+
+
+def _control_points(obj, w):
+    """Centroid + principal-axis control points of weighted world points."""
+    wsum = jnp.maximum(jnp.sum(w), 1e-12)
+    c0 = jnp.sum(obj * w[:, None], axis=0) / wsum
+    centered = (obj - c0) * w[:, None]
+    cov = centered.T @ centered / wsum
+    eigval, eigvec = jnp.linalg.eigh(cov)
+    # Scale axes by sqrt of eigenvalues (guard degenerate/planar sets).
+    scale = jnp.sqrt(jnp.maximum(eigval, 1e-9))
+    cpts = c0[None, :] + eigvec.T * scale[:, None]
+    return jnp.concatenate([c0[None, :], cpts], axis=0)  # [4, 3]
+
+
+def _barycentric(obj, cw):
+    """α s.t. obj = α @ cw, Σα = 1. Solve the 4×4 homogeneous system."""
+    A = jnp.concatenate([cw.T, jnp.ones((1, 4), cw.dtype)], axis=0)   # [4,4]
+    b = jnp.concatenate([obj.T, jnp.ones((1, obj.shape[0]), obj.dtype)], axis=0)
+    alpha = jnp.linalg.solve(A, b)                                     # [4, n]
+    return alpha.T                                                     # [n, 4]
+
+
+def _build_M(alpha, uv_n, w):
+    """2n×12 EPnP design matrix from normalized image coords (fx=fy=1,c=0)."""
+    n = alpha.shape[0]
+    u = uv_n[:, 0]
+    v = uv_n[:, 1]
+    zeros = jnp.zeros_like(alpha)
+    # Row pairs: [α_j, 0, -u α_j] and [0, α_j, -v α_j] interleaved over j.
+    r1 = jnp.stack([alpha, zeros, -u[:, None] * alpha], axis=-1)  # [n,4,3]
+    r2 = jnp.stack([zeros, alpha, -v[:, None] * alpha], axis=-1)
+    M = jnp.concatenate([r1.reshape(n, 12), r2.reshape(n, 12)], axis=0)
+    wrep = jnp.concatenate([w, w], axis=0)[:, None]
+    return M * wrep
+
+
+def _cam_points_from_x(x, alpha):
+    """Camera-frame control points x [12] → per-point camera coords [n,3]."""
+    cc = x.reshape(4, 3)
+    return alpha @ cc
+
+
+def _pairwise_dists(pts4):
+    d = pts4[_PAIRS[:, 0]] - pts4[_PAIRS[:, 1]]
+    return jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-18))
+
+
+def _procrustes(src, dst, w):
+    """Weighted rigid alignment: R, t minimizing ||R·src + t − dst||²."""
+    wsum = jnp.maximum(jnp.sum(w), 1e-12)
+    mu_s = jnp.sum(src * w[:, None], axis=0) / wsum
+    mu_d = jnp.sum(dst * w[:, None], axis=0) / wsum
+    S = ((dst - mu_d) * w[:, None]).T @ (src - mu_s)
+    U, _, Vt = jnp.linalg.svd(S)
+    d = jnp.sign(jnp.linalg.det(U @ Vt))
+    D = jnp.diag(jnp.array([1.0, 1.0, 0.0], S.dtype)) + jnp.diag(
+        jnp.array([0.0, 0.0, 1.0], S.dtype)) * d
+    R = U @ D @ Vt
+    t = mu_d - R @ mu_s
+    return R, t
+
+
+def _gauss_newton_betas(betas, vmat, rho, iters: int = 5):
+    """Refine β (4-vector): minimize Σ (||c_i−c_j||²(β) − ρ_ij)²."""
+
+    def dists_sq(b):
+        x = vmat @ b
+        cc = x.reshape(4, 3)
+        d = cc[_PAIRS[:, 0]] - cc[_PAIRS[:, 1]]
+        return jnp.sum(d * d, axis=-1)
+
+    def body(_, b):
+        r = dists_sq(b) - rho
+        J = jax.jacfwd(dists_sq)(b)          # [6, 4]
+        JtJ = J.T @ J + 1e-9 * jnp.eye(4, dtype=b.dtype)
+        delta = jnp.linalg.solve(JtJ, J.T @ r)
+        return b - delta
+
+    return jax.lax.fori_loop(0, iters, body, betas)
+
+
+def epnp(obj_points, img_points_normalized, weights=None):
+    """EPnP pose solve.
+
+    obj_points: [n, 3] world; img_points_normalized: [n, 2] (K-removed);
+    weights: [n] (0 masks). Returns (R [3,3], t [3], ok).
+    """
+    obj = jnp.asarray(obj_points)
+    uv = jnp.asarray(img_points_normalized, obj.dtype)
+    n = obj.shape[0]
+    w = jnp.ones((n,), obj.dtype) if weights is None else jnp.asarray(weights, obj.dtype)
+
+    cw = _control_points(obj, w)
+    alpha = _barycentric(obj, cw)
+    M = _build_M(alpha, uv, w)
+    MtM = M.T @ M
+    _, vecs = jnp.linalg.eigh(MtM)
+    V = vecs[:, :4]                                    # 4 smallest eigvecs [12,4]
+
+    rho = _pairwise_dists(cw) ** 2                     # world control distances²
+
+    def case_betas_1():
+        v = V[:, 0]
+        cc = v.reshape(4, 3)
+        d = cc[_PAIRS[:, 0]] - cc[_PAIRS[:, 1]]
+        dv = jnp.sum(d * d, axis=-1)
+        beta = jnp.sum(jnp.sqrt(jnp.maximum(dv, 1e-18)) * jnp.sqrt(rho)) / jnp.maximum(
+            jnp.sum(dv), 1e-18)
+        return jnp.array([beta, 0.0, 0.0, 0.0], obj.dtype)
+
+    def _dv(i, j):
+        ci = V[:, i].reshape(4, 3)
+        cj = V[:, j].reshape(4, 3)
+        di = ci[_PAIRS[:, 0]] - ci[_PAIRS[:, 1]]
+        dj = cj[_PAIRS[:, 0]] - cj[_PAIRS[:, 1]]
+        return jnp.sum(di * dj, axis=-1)               # [6]
+
+    def case_betas_2():
+        # Unknowns [β1², β1β2, β2²]; 6×3 least squares.
+        L = jnp.stack([_dv(0, 0), 2 * _dv(0, 1), _dv(1, 1)], axis=-1)
+        sol = jnp.linalg.lstsq(L, rho)[0]
+        b1 = jnp.sqrt(jnp.maximum(jnp.abs(sol[0]), 1e-18))
+        b2 = jnp.sqrt(jnp.maximum(jnp.abs(sol[2]), 1e-18)) * jnp.sign(sol[1]) * jnp.sign(sol[0])
+        return jnp.array([b1, b2, 0.0, 0.0], obj.dtype)
+
+    def case_betas_3():
+        # Unknowns [β1², β1β2, β2², β1β3, β2β3, β3²]; 6×6 solve.
+        L = jnp.stack(
+            [_dv(0, 0), 2 * _dv(0, 1), _dv(1, 1), 2 * _dv(0, 2), 2 * _dv(1, 2),
+             _dv(2, 2)], axis=-1)
+        sol = jnp.linalg.lstsq(L, rho)[0]
+        b1 = jnp.sqrt(jnp.maximum(jnp.abs(sol[0]), 1e-18))
+        b2 = jnp.sqrt(jnp.maximum(jnp.abs(sol[2]), 1e-18)) * jnp.sign(sol[1]) * jnp.sign(sol[0])
+        b3 = jnp.sqrt(jnp.maximum(jnp.abs(sol[5]), 1e-18)) * jnp.sign(sol[3]) * jnp.sign(sol[0])
+        return jnp.array([b1, b2, b3, 0.0], obj.dtype)
+
+    def pose_from_betas(betas):
+        betas = _gauss_newton_betas(betas, V, rho)
+        x = V @ betas
+        cam = _cam_points_from_x(x, alpha)             # [n, 3]
+        # Enforce positive depth: EPnP nullspace sign is arbitrary.
+        depth_sign = jnp.sign(jnp.sum(cam[:, 2] * w) + 1e-18)
+        cam = cam * depth_sign
+        R, t = _procrustes(obj, cam, w)
+        proj = obj @ R.T + t
+        z = jnp.where(jnp.abs(proj[:, 2]) < 1e-12, 1e-12, proj[:, 2])
+        uv_hat = proj[:, :2] / z[:, None]
+        err = jnp.sum(jnp.sum((uv_hat - uv) ** 2, axis=-1) * w)
+        return R, t, err
+
+    cases = [case_betas_1(), case_betas_2(), case_betas_3()]
+    Rs, ts, errs = [], [], []
+    for b in cases:
+        R, t, e = pose_from_betas(b)
+        Rs.append(R)
+        ts.append(t)
+        errs.append(e)
+    Rs = jnp.stack(Rs)
+    ts = jnp.stack(ts)
+    errs = jnp.stack(errs)
+    errs = jnp.where(jnp.isfinite(errs), errs, jnp.inf)
+    best = jnp.argmin(errs)
+    ok = jnp.isfinite(errs[best])
+    return Rs[best], ts[best], ok
+
+
+def epnp_rvec_tvec(obj_points, img_points_normalized, weights=None):
+    R, t, ok = epnp(obj_points, img_points_normalized, weights)
+    return matrix_to_rodrigues(R), t, ok

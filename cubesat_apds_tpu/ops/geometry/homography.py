@@ -1,0 +1,148 @@
+"""Homography estimation: normalized DLT + vectorized RANSAC.
+
+Replaces OpenCV find_homography (RANSAC/LMEDS) as called by
+find_homography_mat (reference: homographier/src/homographier/mod.rs:231-259,
+default reprojection threshold 3.0 at mod.rs:248).
+
+TPU-native shape: instead of OpenCV's sequential adaptive RANSAC loop, draw
+a FIXED batch of H minimal 4-point samples with a seeded PRNG, solve all
+hypotheses as one batched 8×9 SVD, score all H×N reprojections as one
+einsum, take the argmax — then refine with masked DLT on the winner's
+inliers (SURVEY.md §7 hard part #2: inlier-set agreement is the metric, not
+bitwise pose equality).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cubesat_apds_tpu.core.config import RansacConfig
+from cubesat_apds_tpu.core.types import HomographyResult
+
+
+def _normalize_points(pts, weights):
+    """Hartley normalization with weights (invalid points get weight 0).
+
+    Returns (normalized pts, 3×3 similarity T) with mean 0 / RMS √2.
+    """
+    w = weights[..., None]
+    wsum = jnp.maximum(jnp.sum(w, axis=-2), 1e-12)
+    mean = jnp.sum(pts * w, axis=-2, keepdims=True) / wsum[..., None, :]
+    centered = pts - mean
+    scale = jnp.sqrt(2.0) / jnp.maximum(
+        jnp.sqrt(jnp.sum(jnp.sum(centered**2, -1, keepdims=True) * w, axis=-2)
+                 / wsum)[..., 0], 1e-12)
+    T = jnp.zeros(pts.shape[:-2] + (3, 3), pts.dtype)
+    T = T.at[..., 0, 0].set(scale)
+    T = T.at[..., 1, 1].set(scale)
+    T = T.at[..., 0, 2].set(-scale * mean[..., 0, 0])
+    T = T.at[..., 1, 2].set(-scale * mean[..., 0, 1])
+    T = T.at[..., 2, 2].set(1.0)
+    return centered * scale[..., None, None], T
+
+
+def dlt_homography(src, dst, weights=None):
+    """Weighted DLT: solve H s.t. dst ~ H·src from ≥4 correspondences.
+
+    src, dst: [..., N, 2]. weights: [..., N] (0 masks a correspondence).
+    Returns [..., 3, 3] with H[2,2] = 1 normalization.
+    """
+    src = jnp.asarray(src)
+    dst = jnp.asarray(dst, src.dtype)
+    n = src.shape[-2]
+    if weights is None:
+        weights = jnp.ones(src.shape[:-1], src.dtype)
+    else:
+        weights = jnp.asarray(weights, src.dtype)
+    sn, Ts = _normalize_points(src, weights)
+    dn, Td = _normalize_points(dst, weights)
+    x, y = sn[..., 0], sn[..., 1]
+    u, v = dn[..., 0], dn[..., 1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    # Two rows per correspondence of the 2N×9 design matrix.
+    r1 = jnp.stack([-x, -y, -one, zero, zero, zero, u * x, u * y, u], axis=-1)
+    r2 = jnp.stack([zero, zero, zero, -x, -y, -one, v * x, v * y, v], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=-2)  # [..., 2N, 9]
+    wrep = jnp.concatenate([weights, weights], axis=-1)[..., None]
+    A = A * wrep
+    # Nullspace of A via eigh of AᵀA (9×9 — cheap, batched, TPU-friendly).
+    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+    _, vecs = jnp.linalg.eigh(AtA)
+    h = vecs[..., :, 0]  # eigenvector of smallest eigenvalue
+    Hn = h.reshape(h.shape[:-1] + (3, 3))
+    # Denormalize: H = Td⁻¹ · Hn · Ts.
+    H = jnp.linalg.solve(Td, Hn @ Ts)
+    scale = H[..., 2:3, 2:3]
+    H = H / jnp.where(jnp.abs(scale) < 1e-12, 1e-12, scale)
+    return H
+
+
+def symmetric_transfer_error(H, src, dst):
+    """Forward reprojection error ||H·src − dst||² per point [..., N]."""
+    from cubesat_apds_tpu.ops.warp import apply_homography
+
+    proj = apply_homography(H, src)
+    return jnp.sum((proj - dst) ** 2, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def find_homography_ransac(src, dst, valid=None, config: RansacConfig = RansacConfig(),
+                           key=None) -> HomographyResult:
+    """RANSAC homography from fixed-capacity correspondences.
+
+    src, dst: [N, 2]; valid: [N] bool mask. Returns HomographyResult whose
+    inlier mask matches find_homography_mat's RANSAC mask semantics
+    (reference: homographier mod.rs:243-256).
+    """
+    src = jnp.asarray(src, jnp.float32)
+    dst = jnp.asarray(dst, jnp.float32)
+    n = src.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    if key is None:
+        key = jax.random.PRNGKey(config.seed)
+
+    num_valid = jnp.sum(valid.astype(jnp.int32))
+    vf = valid.astype(jnp.float32)
+
+    # --- Hypothesis sampling: [H, 4] indices drawn from valid entries. ---
+    # Gumbel-top-k over the valid mask gives 4 distinct indices per draw.
+    gumbel = jax.random.gumbel(key, (config.num_hypotheses, n))
+    gumbel = jnp.where(valid[None, :], gumbel, -jnp.inf)
+    _, sample_idx = jax.lax.top_k(gumbel, 4)           # [H, 4]
+
+    s4 = src[sample_idx]                               # [H, 4, 2]
+    d4 = dst[sample_idx]
+    Hs = dlt_homography(s4, d4)                        # [H, 3, 3]
+
+    # --- Score all hypotheses against all points. ---
+    err = symmetric_transfer_error(Hs, src[None], dst[None])  # [H, N]
+    thr2 = config.reproj_threshold**2
+    inl = (err < thr2) & valid[None, :]
+    # Degenerate H (non-finite) scores zero.
+    finite = jnp.all(jnp.isfinite(Hs.reshape(Hs.shape[0], -1)), axis=-1)
+    scores = jnp.where(finite, jnp.sum(inl, axis=-1), -1)
+    best = jnp.argmax(scores)
+    H_best = Hs[best]
+    inliers = inl[best]
+
+    # --- Refinement: masked DLT on the inlier set, re-derive inliers. ---
+    def refine(_, carry):
+        H_cur, inl_cur = carry
+        w = inl_cur.astype(jnp.float32)
+        H_new = dlt_homography(src, dst, w)
+        err_new = symmetric_transfer_error(H_new, src, dst)
+        inl_new = (err_new < thr2) & valid
+        better = jnp.sum(inl_new) >= jnp.sum(inl_cur)
+        ok_new = jnp.all(jnp.isfinite(H_new)) & better
+        return (jnp.where(ok_new, H_new, H_cur), jnp.where(ok_new, inl_new, inl_cur))
+
+    H_best, inliers = jax.lax.fori_loop(0, config.refine_iters, refine,
+                                        (H_best, inliers))
+    num_inl = jnp.sum(inliers.astype(jnp.int32))
+    ok = (num_valid >= 4) & (num_inl >= 4) & jnp.all(jnp.isfinite(H_best))
+    return HomographyResult(H=H_best, inliers=inliers, num_inliers=num_inl, ok=ok)

@@ -1,0 +1,145 @@
+"""PnP-RANSAC: robust 6-DoF pose from 3D–2D correspondences.
+
+Replaces pnp_solver_ransac (reference: homographier/src/homographier/
+mod.rs:320-369, OpenCV solvePnPRansac with SOLVEPNP_EPNP). Differences by
+design:
+  * fixed hypothesis batch + seeded PRNG instead of adaptive sequential
+    RANSAC (jit-static; SURVEY.md §7 hard part #2);
+  * caller's dist_coeffs are HONOURED — the reference silently shadows
+    them with zeros (mod.rs:326,344; SURVEY.md flags as do-not-replicate):
+    we undistort image points up front, then work in normalized coords;
+  * returns ok=False instead of Ok(None) when no solution (mod.rs:363).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cubesat_apds_tpu.core.config import PnPConfig
+from cubesat_apds_tpu.core.types import CameraModel, Correspondences, PoseSolution
+from cubesat_apds_tpu.core.camera import pixels_to_normalized
+from cubesat_apds_tpu.ops.geometry.epnp import epnp
+from cubesat_apds_tpu.ops.geometry.rodrigues import (
+    matrix_to_rodrigues,
+    rodrigues_to_matrix,
+)
+
+
+def _reproj_err_normalized(R, t, obj, uv_n):
+    """Squared reprojection error in normalized image coords, [..., N]."""
+    cam = jnp.einsum("...ij,nj->...ni", R, obj) + t[..., None, :]
+    z = cam[..., 2]
+    behind = z <= 1e-6
+    zs = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    uv_hat = cam[..., :2] / zs[..., None]
+    err = jnp.sum((uv_hat - uv_n) ** 2, axis=-1)
+    return jnp.where(behind, jnp.inf, err)
+
+
+def _gn_refine_pose(rvec, tvec, obj, uv_n, weights, iters: int):
+    """Gauss-Newton on (rvec, tvec) minimizing weighted reprojection error."""
+
+    def residuals(params):
+        rv, tv = params[:3], params[3:]
+        R = rodrigues_to_matrix(rv)
+        cam = obj @ R.T + tv
+        z = jnp.where(jnp.abs(cam[:, 2]) < 1e-12, 1e-12, cam[:, 2])
+        uv_hat = cam[:, :2] / z[:, None]
+        return ((uv_hat - uv_n) * weights[:, None]).reshape(-1)
+
+    def body(_, params):
+        r = residuals(params)
+        J = jax.jacfwd(residuals)(params)
+        JtJ = J.T @ J + 1e-9 * jnp.eye(6, dtype=params.dtype)
+        delta = jnp.linalg.solve(JtJ, J.T @ r)
+        new = params - delta
+        ok = jnp.all(jnp.isfinite(new))
+        return jnp.where(ok, new, params)
+
+    params = jnp.concatenate([rvec, tvec])
+    params = jax.lax.fori_loop(0, iters, body, params)
+    return params[:3], params[3:]
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def solve_pnp_ransac(corr: Correspondences, camera: CameraModel,
+                     config: PnPConfig = PnPConfig(), key=None) -> PoseSolution:
+    """RANSAC-EPnP over fixed-capacity correspondences.
+
+    corr.obj_points [N,3], corr.img_points [N,2] pixels, corr.valid [N].
+    """
+    obj = jnp.asarray(corr.obj_points, jnp.float32)
+    pix = jnp.asarray(corr.img_points, jnp.float32)
+    valid = corr.valid
+    n = obj.shape[0]
+    if key is None:
+        key = jax.random.PRNGKey(config.seed)
+
+    uv_n = pixels_to_normalized(pix, camera)           # undistorted normalized
+    vf = valid.astype(jnp.float32)
+    num_valid = jnp.sum(valid.astype(jnp.int32))
+
+    # Normalized-coordinate threshold: pixel threshold / focal length.
+    f_avg = 0.5 * (camera.K[0, 0] + camera.K[1, 1])
+    thr2 = (config.reproj_threshold / f_avg) ** 2
+
+    # --- Hypotheses: [H, S] index samples from the valid set. ---
+    gumbel = jax.random.gumbel(key, (config.num_hypotheses, n))
+    gumbel = jnp.where(valid[None, :], gumbel, -jnp.inf)
+    _, samp = jax.lax.top_k(gumbel, config.sample_size)
+
+    def solve_one(idx):
+        R, t, ok = epnp(obj[idx], uv_n[idx])
+        return R, t, ok
+
+    Rs, ts, oks = jax.vmap(solve_one)(samp)            # [H,3,3],[H,3],[H]
+
+    err = _reproj_err_normalized(Rs, ts, obj, uv_n)    # [H, N]
+    inl = (err < thr2) & valid[None, :]
+    scores = jnp.where(oks, jnp.sum(inl, axis=-1), -1)
+    best = jnp.argmax(scores)
+    R_best, t_best = Rs[best], ts[best]
+    inliers = inl[best]
+
+    # --- Refit EPnP on the full inlier set, then Gauss-Newton polish. ---
+    w_inl = inliers.astype(jnp.float32)
+    R_fit, t_fit, fit_ok = epnp(obj, uv_n, w_inl)
+    use_fit = fit_ok & (jnp.sum(
+        (_reproj_err_normalized(R_fit, t_fit, obj, uv_n) < thr2) & valid)
+        >= jnp.sum(inliers))
+    R_best = jnp.where(use_fit, R_fit, R_best)
+    t_best = jnp.where(use_fit, t_fit, t_best)
+
+    rvec = matrix_to_rodrigues(R_best)
+    rvec, tvec = _gn_refine_pose(rvec, t_best, obj, uv_n, w_inl,
+                                 config.refine_iters)
+    R_final = rodrigues_to_matrix(rvec)
+    err_final = _reproj_err_normalized(R_final, tvec, obj, uv_n)
+    inliers = (err_final < thr2) & valid
+    num_inl = jnp.sum(inliers.astype(jnp.int32))
+    # Reference errors out below 4 points (mod.rs:328-339); we report ok.
+    ok = (num_valid >= 4) & (num_inl >= 4) & jnp.all(jnp.isfinite(rvec)) & \
+        jnp.all(jnp.isfinite(tvec))
+    return PoseSolution(rvec=rvec, tvec=tvec, inliers=inliers,
+                        num_inliers=num_inl, ok=ok)
+
+
+def solve_pnp(corr: Correspondences, camera: CameraModel,
+              refine_iters: int = 10) -> PoseSolution:
+    """Non-robust PnP (all valid points assumed inliers): EPnP + GN."""
+    obj = jnp.asarray(corr.obj_points, jnp.float32)
+    pix = jnp.asarray(corr.img_points, jnp.float32)
+    uv_n = pixels_to_normalized(pix, camera)
+    w = corr.valid.astype(jnp.float32)
+    R, t, ok = epnp(obj, uv_n, w)
+    rvec = matrix_to_rodrigues(R)
+    rvec, tvec = _gn_refine_pose(rvec, t, obj, uv_n, w, refine_iters)
+    num_valid = jnp.sum(corr.valid.astype(jnp.int32))
+    return PoseSolution(
+        rvec=rvec, tvec=tvec, inliers=corr.valid,
+        num_inliers=num_valid,
+        ok=ok & (num_valid >= 4) & jnp.all(jnp.isfinite(rvec)),
+    )

@@ -1,0 +1,120 @@
+"""Geometry tests: Rodrigues, DLT, RANSAC homography, warp.
+
+Mirrors the reference's geometry behavior tests (homographier
+mod.rs:436-472 identity homography; mod.rs:682-707 idempotent warp)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cubesat_apds_tpu.core.config import RansacConfig
+from cubesat_apds_tpu.ops.geometry.homography import (
+    dlt_homography,
+    find_homography_ransac,
+)
+from cubesat_apds_tpu.ops.geometry.rodrigues import (
+    matrix_to_rodrigues,
+    rodrigues_to_matrix,
+)
+from cubesat_apds_tpu.ops.warp import apply_homography, warp_perspective
+
+
+def _rand_rotation(rng):
+    v = rng.normal(size=3)
+    v = v / np.linalg.norm(v) * rng.uniform(0.1, np.pi - 0.1)
+    return v
+
+
+def test_rodrigues_roundtrip(rng):
+    for _ in range(20):
+        rvec = _rand_rotation(rng)
+        R = np.asarray(rodrigues_to_matrix(jnp.asarray(rvec)))
+        # Orthonormal, det 1.
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+        assert np.linalg.det(R) == pytest.approx(1.0, abs=1e-5)
+        rvec2 = np.asarray(matrix_to_rodrigues(jnp.asarray(R)))
+        np.testing.assert_allclose(rvec2, rvec, atol=1e-4)
+
+
+def test_rodrigues_identity():
+    R = np.asarray(rodrigues_to_matrix(jnp.zeros(3)))
+    np.testing.assert_allclose(R, np.eye(3), atol=1e-7)
+    r = np.asarray(matrix_to_rodrigues(jnp.eye(3)))
+    np.testing.assert_allclose(r, 0.0, atol=1e-7)
+
+
+def test_dlt_exact_homography(rng):
+    H_true = np.array([[1.2, 0.1, 5.0], [-0.05, 0.9, -3.0], [1e-4, -2e-4, 1.0]])
+    src = rng.uniform(0, 500, (32, 2))
+    dst = np.asarray(apply_homography(jnp.asarray(H_true), jnp.asarray(src)))
+    H = np.asarray(dlt_homography(jnp.asarray(src), jnp.asarray(dst)))
+    np.testing.assert_allclose(H, H_true, atol=1e-8)
+    # The f32 path (what runs on TPU inside RANSAC) stays within the
+    # RANSAC scoring tolerance.
+    H32 = np.asarray(dlt_homography(jnp.asarray(src, jnp.float32),
+                                    jnp.asarray(dst, jnp.float32)))
+    np.testing.assert_allclose(H32, H_true, rtol=0.05, atol=0.5)
+
+
+def test_identity_homography_from_identical_points(rng):
+    # Reference test: identical point sets → identity H (mod.rs:436-472).
+    pts = jnp.asarray(rng.uniform(0, 100, (16, 2)), jnp.float32)
+    res = find_homography_ransac(pts, pts)
+    assert bool(res.ok)
+    H = np.asarray(res.H)
+    np.testing.assert_allclose(H, np.eye(3), atol=1e-3)
+    assert np.asarray(res.inliers).all()
+
+
+def test_ransac_with_outliers(rng):
+    H_true = np.array([[0.8, 0.05, 20.0], [-0.1, 1.1, -7.0], [5e-5, 1e-4, 1.0]])
+    n_in, n_out = 60, 40
+    src_in = rng.uniform(0, 500, (n_in, 2)).astype(np.float32)
+    dst_in = np.asarray(apply_homography(jnp.asarray(H_true, jnp.float32),
+                                         jnp.asarray(src_in)))
+    dst_in = dst_in + rng.normal(0, 0.5, dst_in.shape).astype(np.float32)
+    src_out = rng.uniform(0, 500, (n_out, 2)).astype(np.float32)
+    dst_out = rng.uniform(0, 500, (n_out, 2)).astype(np.float32)
+    src = np.concatenate([src_in, src_out])
+    dst = np.concatenate([dst_in, dst_out])
+    res = find_homography_ransac(jnp.asarray(src), jnp.asarray(dst))
+    assert bool(res.ok)
+    inl = np.asarray(res.inliers)
+    # All true inliers recovered, (almost) no outliers admitted.
+    assert inl[:n_in].sum() >= n_in - 2
+    assert inl[n_in:].sum() <= 2
+    H = np.asarray(res.H)
+    np.testing.assert_allclose(H, H_true, rtol=0.05, atol=0.5)
+
+
+def test_ransac_respects_valid_mask(rng):
+    pts = jnp.asarray(rng.uniform(0, 100, (32, 2)), jnp.float32)
+    valid = jnp.arange(32) < 16
+    res = find_homography_ransac(pts, pts, valid=valid)
+    inl = np.asarray(res.inliers)
+    assert not inl[16:].any()
+    assert inl[:16].all()
+
+
+def test_warp_identity_idempotent(rng):
+    # Reference: warping with identity H returns the image (mod.rs:682-707).
+    img = jnp.asarray(rng.uniform(0, 1, (32, 32)), jnp.float32)
+    out = np.asarray(warp_perspective(img, jnp.eye(3)))
+    np.testing.assert_allclose(out, np.asarray(img), atol=1e-5)
+
+
+def test_warp_translation():
+    img = jnp.zeros((8, 8), jnp.float32).at[2, 3].set(1.0)
+    H = jnp.asarray(np.array([[1, 0, 2], [0, 1, 1], [0, 0, 1]], np.float32))
+    out = np.asarray(warp_perspective(img, H))
+    assert out[3, 5] == pytest.approx(1.0, abs=1e-6)
+    assert out[2, 3] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_warp_border_constant():
+    img = jnp.ones((8, 8), jnp.float32)
+    H = jnp.asarray(np.array([[1, 0, 6], [0, 1, 0], [0, 0, 1]], np.float32))
+    out = np.asarray(warp_perspective(img, H))
+    assert (out[:, :6] == 0).all()  # shifted-in region is fill 0
+    assert (out[:, 6:] == 1).all()
