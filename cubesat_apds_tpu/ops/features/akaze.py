@@ -1,0 +1,85 @@
+"""AKAZE detect-and-compute: the TPU-native equivalent of
+akaze_keypoint_descriptor_extraction_def (reference:
+feature_extraction/src/lib.rs:61-92).
+
+Pipeline: nonlinear scale space (FED) → det-Hessian detection + NMS +
+sub-pixel → orientation → full MLDB descriptor. Returns fixed-capacity
+`Features` (keypoints + packed 61-byte descriptors + validity mask).
+
+Level images are stacked into zero-padded [L, H, W] tensors for the
+per-keypoint sampling stages; this costs ≤3× the pyramid memory and turns
+orientation + description into fully batched gathers/einsums (no
+per-keypoint control flow). Intended operating range is tile-sized images
+(≤1024², the preprocessor's tile default) — the preprocessor feeds tiles,
+never whole mosaics, exactly like the reference (preprocessor
+main.rs:248-327).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+
+from cubesat_apds_tpu.core.config import AkazeConfig
+from cubesat_apds_tpu.core.types import Features, Keypoints
+from cubesat_apds_tpu.ops.features.detect import detect_keypoints
+from cubesat_apds_tpu.ops.features.mldb import mldb_descriptors
+from cubesat_apds_tpu.ops.features.orientation import compute_orientations
+from cubesat_apds_tpu.ops.features.scale_space import ScaleSpace, build_scale_space
+
+
+def _pad_stack(levels: List[jax.Array]) -> jax.Array:
+    """Stack per-level arrays into one [L, Hmax, Wmax] zero-padded tensor."""
+    hmax = max(a.shape[0] for a in levels)
+    wmax = max(a.shape[1] for a in levels)
+    padded = [
+        jnp.pad(a, ((0, hmax - a.shape[0]), (0, wmax - a.shape[1])))
+        for a in levels
+    ]
+    return jnp.stack(padded)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "capacity"))
+def detect_and_compute(img, config: AkazeConfig = AkazeConfig(),
+                       capacity: int | None = None) -> Features:
+    """img: [H, W] float32 grayscale in [0, 1] → Features.
+
+    Keypoints come out response-sorted (strongest first), capacity-padded;
+    the cap semantics mirror the reference's max_points = 2^18−1
+    (lib.rs:12-13) at a practical per-tile static capacity.
+    """
+    capacity = capacity or config.capacity
+    img = jnp.asarray(img, jnp.float32)
+
+    ss = build_scale_space(img, config)
+    kps, lx_list, ly_list = detect_keypoints(ss, config, capacity)
+
+    lt_stack = _pad_stack(ss.Lt)
+    lx_stack = _pad_stack(lx_list)
+    ly_stack = _pad_stack(ly_list)
+    level_hw = jnp.asarray(
+        [[a.shape[0], a.shape[1]] for a in ss.Lt], jnp.int32)
+
+    angle = compute_orientations(
+        lx_stack, ly_stack, level_hw, kps.xy, kps.size, kps.class_id,
+        kps.octave, kps.valid)
+    kps = Keypoints(
+        xy=kps.xy, size=kps.size, angle=angle, response=kps.response,
+        octave=kps.octave, class_id=kps.class_id, valid=kps.valid)
+
+    desc = mldb_descriptors(
+        lt_stack, lx_stack, ly_stack, level_hw,
+        kps.xy, kps.size, kps.angle, kps.class_id, kps.octave, kps.valid)
+    return Features(keypoints=kps, descriptors=desc)
+
+
+def detect_and_compute_batch(imgs, config: AkazeConfig = AkazeConfig(),
+                             capacity: int | None = None) -> Features:
+    """vmapped detect_and_compute over a batch of same-shape images
+    (the preprocessor's tile batch; replaces the reference's rayon
+    fan-out, preprocessor main.rs:227-245)."""
+    fn = functools.partial(detect_and_compute, config=config, capacity=capacity)
+    return jax.vmap(fn)(jnp.asarray(imgs, jnp.float32))

@@ -1,0 +1,228 @@
+"""AKAZE keypoint detection: scale-normalized det-Hessian + NMS + top-K.
+
+Detector half of the reference's AKAZE call
+(feature_extraction/src/lib.rs:61-92). TPU-native shape decisions:
+
+  * Multiscale Scharr-family derivatives at integer scale s are separable
+    3-tap convolutions with taps at {−s, 0, +s} — static kernels per level.
+  * The sequential "is_repeated" candidate dedup of the original becomes a
+    parallel 3-D NMS: a candidate survives if it is the strict spatial
+    3×3 max of its level, above threshold, and not dominated by a larger
+    response within its size radius at the adjacent levels (computed with
+    max-pool + nearest-resampling — all convolution-shaped ops).
+  * Data-dependent keypoint counts become a fixed-capacity top-K by
+    response with a validity mask (SURVEY.md §7 hard part #3); capacity
+    semantics mirror the reference cap of 2^18−1 (lib.rs:12-13).
+  * Sub-pixel refinement is the standard 2×2 quadratic fit; candidates
+    whose offset exceeds 1 pixel are dropped (same acceptance rule).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cubesat_apds_tpu.core.config import AkazeConfig
+from cubesat_apds_tpu.core.types import Keypoints
+from cubesat_apds_tpu.ops.features.scale_space import LevelMeta, ScaleSpace
+from cubesat_apds_tpu.ops.resample import separable_conv2d
+
+
+def _deriv_kernels(scale: int):
+    """Scaled Scharr-family kernels: smoothing + central difference with
+    taps at {−scale, 0, +scale} (compute_derivative_kernels semantics)."""
+    ksize = 3 + 2 * (scale - 1)
+    w = 10.0 / 3.0
+    norm = 1.0 / (2.0 * scale * (w + 2.0))
+    smooth = np.zeros(ksize, np.float32)
+    smooth[0] = norm
+    smooth[ksize // 2] = w * norm
+    smooth[-1] = norm
+    deriv = np.zeros(ksize, np.float32)
+    deriv[0] = -1.0
+    deriv[-1] = 1.0
+    return smooth, deriv
+
+
+def scharr_scale(img, scale: int, dx: int, dy: int):
+    """Scaled Scharr derivative (order 1 in one axis, smoothing in the other)."""
+    smooth, deriv = _deriv_kernels(scale)
+    row = deriv if dy else smooth   # kernel applied along H
+    col = deriv if dx else smooth   # kernel applied along W
+    return separable_conv2d(img, row, col, pad_mode="reflect")
+
+
+def det_hessian_response(Lsmooth, sigma_size: int):
+    """σ⁴-normalized determinant of Hessian of one level.
+
+    First derivatives at scale s scaled by s, second derivatives (derivative
+    of the derivative, same scale) scaled by s² — then det = Lxx·Lyy − Lxy².
+    Also returns (Lx, Ly) scaled by s for orientation/descriptor use.
+    """
+    s = sigma_size
+    lx = scharr_scale(Lsmooth, s, 1, 0)
+    ly = scharr_scale(Lsmooth, s, 0, 1)
+    lxx = scharr_scale(lx, s, 1, 0) * (s * s)
+    lyy = scharr_scale(ly, s, 0, 1) * (s * s)
+    lxy = scharr_scale(lx, s, 0, 1) * (s * s)
+    ldet = lxx * lyy - lxy * lxy
+    return ldet, lx * s, ly * s
+
+
+def _maxpool3x3(x):
+    """3×3 max-pool, same shape, edge padding of −inf."""
+    neg = jnp.finfo(x.dtype).min
+    xp = jnp.pad(x, ((1, 1), (1, 1)), constant_values=neg)
+    return jax.lax.reduce_window(
+        xp, neg, jax.lax.max, (3, 3), (1, 1), "VALID")
+
+
+def _maxpool_radius(x, r: int):
+    """(2r+1)² max-pool, same shape."""
+    if r <= 0:
+        return x
+    neg = jnp.finfo(x.dtype).min
+    xp = jnp.pad(x, ((r, r), (r, r)), constant_values=neg)
+    return jax.lax.reduce_window(
+        xp, neg, jax.lax.max, (2 * r + 1, 2 * r + 1), (1, 1), "VALID")
+
+
+def _resample_to(x, shape_hw):
+    """Nearest-resample a response map to another level's grid (for
+    cross-octave comparisons). Shapes are static; factor is 2 or 1/2."""
+    h, w = x.shape
+    th, tw = shape_hw
+    if (h, w) == (th, tw):
+        return x
+    if th <= h:  # downsample by 2: max of 2×2 (conservative for suppression)
+        x = x[: th * 2, : tw * 2]
+        x = x.reshape(th, 2, tw, 2)
+        return x.max(axis=(1, 3))
+    # upsample by 2: repeat
+    x = jnp.repeat(jnp.repeat(x, 2, axis=0), 2, axis=1)
+    return x[:th, :tw]
+
+
+def detect_keypoints(ss: ScaleSpace, config: AkazeConfig = AkazeConfig(),
+                     capacity: int | None = None
+                     ) -> Tuple[Keypoints, List[jax.Array], List[jax.Array]]:
+    """Scale-space extrema → fixed-capacity Keypoints (+ per-level Lx, Ly).
+
+    Returns (keypoints, Lx_list, Ly_list); keypoint class_id = evolution
+    level index (as in the original, it addresses the level's images for
+    orientation + descriptor sampling).
+    """
+    capacity = capacity or config.capacity
+    meta = ss.meta
+    n_levels = len(meta)
+
+    ldet_list, lx_list, ly_list = [], [], []
+    for i in range(n_levels):
+        ldet, lx, ly = det_hessian_response(ss.Lsmooth[i], meta[i].sigma_size)
+        ldet_list.append(ldet)
+        lx_list.append(lx)
+        ly_list.append(ly)
+
+    # --- NMS per level + cross-level suppression. ---
+    cand_vals, cand_pos = [], []
+    thr = jnp.float32(config.threshold)
+    for i in range(n_levels):
+        ldet = ldet_list[i]
+        h, w = ldet.shape
+        m = meta[i]
+        is_peak = ldet >= _maxpool3x3(ldet)
+        above = ldet > thr
+        # Suppression radius in this level's pixels ≈ the point's size
+        # footprint (esigma·derivative_factor / ratio).
+        r = max(int(round(m.esigma * config.derivative_factor / m.ratio)), 1)
+        dominated = jnp.zeros_like(ldet, dtype=bool)
+        for j in (i - 1, i + 1):
+            if j < 0 or j >= n_levels:
+                continue
+            other = _resample_to(ldet_list[j], (h, w))
+            other_max = _maxpool_radius(other, r)
+            if j < i:
+                # Strictly-greater earlier level wins ties (the sequential
+                # original keeps the earlier point on equal response).
+                dominated = dominated | (other_max >= ldet)
+            else:
+                dominated = dominated | (other_max > ldet)
+        # Border exclusion.
+        ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        b = m.border
+        inside = (xs >= b) & (xs < w - b) & (ys >= b) & (ys < h - b)
+        keep = is_peak & above & inside & ~dominated
+        vals = jnp.where(keep, ldet, -jnp.inf)
+
+        # Per-level top-k (k = min(capacity, h*w)).
+        k = min(capacity, h * w)
+        v, flat_idx = jax.lax.top_k(vals.reshape(-1), k)
+        py = flat_idx // w
+        px = flat_idx % w
+
+        # Sub-pixel refinement via quadratic fit on the level's ldet.
+        def grab(dy, dx):
+            return ldet[jnp.clip(py + dy, 0, h - 1), jnp.clip(px + dx, 0, w - 1)]
+
+        v_c = grab(0, 0)
+        dx1 = 0.5 * (grab(0, 1) - grab(0, -1))
+        dy1 = 0.5 * (grab(1, 0) - grab(-1, 0))
+        dxx = grab(0, 1) + grab(0, -1) - 2.0 * v_c
+        dyy = grab(1, 0) + grab(-1, 0) - 2.0 * v_c
+        dxy = 0.25 * (grab(1, 1) + grab(-1, -1) - grab(1, -1) - grab(-1, 1))
+        det = dxx * dyy - dxy * dxy
+        det_safe = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        offx = -(dyy * dx1 - dxy * dy1) / det_safe
+        offy = -(dxx * dy1 - dxy * dx1) / det_safe
+        refine_ok = (jnp.abs(offx) <= 1.0) & (jnp.abs(offy) <= 1.0)
+
+        ratio = float(m.ratio)
+        xf = (px.astype(jnp.float32) + offx) * ratio
+        yf = (py.astype(jnp.float32) + offy) * ratio
+        valid = jnp.isfinite(v) & (v > 0) & refine_ok
+
+        cand_vals.append(jnp.where(valid, v, -jnp.inf))
+        cand_pos.append((xf, yf, i))
+
+    # --- Global top-K merge across levels. ---
+    all_vals = jnp.concatenate(cand_vals)
+    all_x = jnp.concatenate([p[0] for p in cand_pos])
+    all_y = jnp.concatenate([p[1] for p in cand_pos])
+    all_lvl = jnp.concatenate([
+        jnp.full(cand_vals[n].shape, cand_pos[n][2], jnp.int32)
+        for n in range(n_levels)])
+
+    k = min(capacity, all_vals.shape[0])
+    top_vals, top_idx = jax.lax.top_k(all_vals, k)
+    sel_x = all_x[top_idx]
+    sel_y = all_y[top_idx]
+    sel_lvl = all_lvl[top_idx]
+    valid = jnp.isfinite(top_vals)
+
+    esigmas = jnp.asarray([m.esigma for m in meta], jnp.float32)
+    octaves = jnp.asarray([m.octave for m in meta], jnp.int32)
+    size = esigmas[sel_lvl] * config.derivative_factor
+
+    if k < capacity:
+        pad = capacity - k
+        top_vals = jnp.pad(top_vals, (0, pad))
+        sel_x = jnp.pad(sel_x, (0, pad))
+        sel_y = jnp.pad(sel_y, (0, pad))
+        sel_lvl = jnp.pad(sel_lvl, (0, pad))
+        size = jnp.pad(size, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+
+    kps = Keypoints(
+        xy=jnp.stack([sel_x, sel_y], axis=-1),
+        size=size,
+        angle=jnp.zeros((capacity,), jnp.float32),
+        response=jnp.where(valid, top_vals, 0.0),
+        octave=jnp.where(valid, octaves[jnp.clip(sel_lvl, 0, n_levels - 1)], 0),
+        class_id=jnp.where(valid, sel_lvl, -1),
+        valid=valid,
+    )
+    return kps, lx_list, ly_list

@@ -1,0 +1,130 @@
+"""Full MLDB binary descriptor (486 bits / 61 bytes), batched.
+
+Descriptor half of the reference's AKAZE call (feature_extraction/src/
+lib.rs:64-73: DESCRIPTOR_MLDB, descriptor_size=0 ⇒ full, 3 channels).
+
+MLDB (Modified-Local Difference Binary) structure:
+  * a (2·pattern_size)² patch around the keypoint, rotated by its angle,
+    sampled with step = keypoint scale, nearest-neighbour;
+  * three grids over the patch — 2×2, 3×3, 4×4 cells — each cell holding
+    the MEAN of (intensity, rotated ∂x, rotated ∂y) over its samples;
+  * for each grid: all cell pairs (i<j) compared per channel →
+    (6 + 36 + 120) pairs × 3 channels = 486 bits, LSB-first packed.
+
+TPU shape: the sample→cell assignment is STATIC (it depends only on
+pattern geometry), so cell means for all keypoints are one einsum
+[K, 441, 3] × [cells, 441] on the MXU, and the comparisons are a static
+gather of pair indices — no per-keypoint control flow anywhere.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cubesat_apds_tpu.core.config import AkazeConfig, DESC_BYTES
+from cubesat_apds_tpu.ops.match import pack_bits
+
+_PATTERN = 10  # descriptor_pattern_size default
+
+
+def _grid_geometry(pattern: int = _PATTERN):
+    """Static (offsets [S,2], per-grid averaging matrices, pair indices).
+
+    Offsets enumerate every integer (k, l) the three grids touch. Grid
+    level g has cells indexed row-major over i (outer) then j (inner) to
+    match the original's loop order.
+    """
+    size_mult = [1.0, 2.0 / 3.0, 1.0 / 2.0]
+    # All integer sample offsets used by any grid: k ∈ [-pattern, pattern].
+    span = np.arange(-pattern, pattern + 1, dtype=np.int32)
+    offsets = np.array([(k, l) for k in span for l in span], np.int32)  # [S,2]
+    off_index = {(int(k), int(l)): n for n, (k, l) in enumerate(offsets)}
+
+    avg_mats, pair_idx = [], []
+    for g in range(3):
+        step = int(np.ceil(pattern * size_mult[g]))
+        cell_starts = list(range(-pattern, pattern, step))
+        n_side = len(cell_starts)
+        n_cells = n_side * n_side
+        W = np.zeros((n_cells, offsets.shape[0]), np.float32)
+        c = 0
+        for i in cell_starts:
+            for j in cell_starts:
+                members = [(k, l) for k in range(i, i + step)
+                           for l in range(j, j + step)]
+                for k, l in members:
+                    W[c, off_index[(k, l)]] = 1.0 / len(members)
+                c += 1
+        avg_mats.append(W)
+        pairs = np.array([(i, j) for i in range(n_cells)
+                          for j in range(i + 1, n_cells)], np.int32)
+        pair_idx.append(pairs)
+    return offsets, avg_mats, pair_idx
+
+
+_OFFSETS, _AVG_MATS, _PAIR_IDX = _grid_geometry()
+
+
+def _fround(x):
+    return jnp.floor(x + 0.5).astype(jnp.int32)
+
+
+def mldb_descriptors(lt_stack, lx_stack, ly_stack, level_hw,
+                     xy, size, angle, class_id, octave, valid):
+    """Packed MLDB descriptors [K, 61] uint8 for all keypoints at once.
+
+    lt_stack/lx_stack/ly_stack: [L, H, W] padded level stacks (Lt is the
+    diffused image; Lx/Ly the σ-scaled detection derivatives).
+    """
+    K = xy.shape[0]
+    lvl = jnp.clip(class_id, 0, lt_stack.shape[0] - 1)
+    ratio = jnp.exp2(octave.astype(jnp.float32))
+    s = _fround(0.5 * size / ratio).astype(jnp.float32)      # scale [K]
+    xf = xy[:, 0] / ratio
+    yf = xy[:, 1] / ratio
+    co = jnp.cos(angle)
+    si = jnp.sin(angle)
+
+    offs = jnp.asarray(_OFFSETS, jnp.float32)                # [S, 2] (k, l)
+    k_off = offs[:, 0][None, :]                              # [1, S]
+    l_off = offs[:, 1][None, :]
+    sample_x = xf[:, None] + s[:, None] * (k_off * co[:, None] - l_off * si[:, None])
+    sample_y = yf[:, None] + s[:, None] * (k_off * si[:, None] + l_off * co[:, None])
+    ix = _fround(sample_x)                                   # [K, S]
+    iy = _fround(sample_y)
+
+    hs = level_hw[lvl, 0][:, None]
+    ws = level_hw[lvl, 1][:, None]
+    ix_c = jnp.clip(ix, 0, ws - 1)
+    iy_c = jnp.clip(iy, 0, hs - 1)
+    lvl_b = jnp.broadcast_to(lvl[:, None], ix.shape)
+
+    di = lt_stack[lvl_b, iy_c, ix_c]                         # [K, S]
+    rx = lx_stack[lvl_b, iy_c, ix_c]
+    ry = ly_stack[lvl_b, iy_c, ix_c]
+    # Rotate the gradient into the keypoint frame (linear — safe to do
+    # before cell averaging).
+    dx = rx * co[:, None] + ry * si[:, None]
+    dy = -rx * si[:, None] + ry * co[:, None]
+    samples = jnp.stack([di, dx, dy], axis=-1)               # [K, S, 3]
+
+    bit_groups = []
+    for g in range(3):
+        Wg = jnp.asarray(_AVG_MATS[g])                       # [C, S]
+        vals = jnp.einsum("cs,ksd->kcd", Wg, samples)        # [K, C, 3]
+        pairs = jnp.asarray(_PAIR_IDX[g])                    # [P, 2]
+        vi = vals[:, pairs[:, 0], :]                         # [K, P, 3]
+        vj = vals[:, pairs[:, 1], :]
+        bits = (vi > vj)                                     # [K, P, 3]
+        # Channel-major order (channel outer, pairs inner), matching
+        # MLDB_Binary_Comparisons.
+        bit_groups.append(jnp.moveaxis(bits, -1, -2).reshape(K, -1))
+    all_bits = jnp.concatenate(bit_groups, axis=-1)          # [K, 486]
+    desc = pack_bits(all_bits)                               # [K, 61]
+    return jnp.where(valid[:, None], desc, jnp.uint8(0))
+
+
+def descriptor_bytes() -> int:
+    return DESC_BYTES

@@ -1,0 +1,78 @@
+"""AKAZE dominant-orientation assignment, batched over keypoints.
+
+Replicates the SURF-style Compute_Main_Orientation of AKAZE: gaussian-
+weighted first derivatives sampled on a radius-6 disc (step = keypoint
+scale), then a sliding 60° angular window (42 starts of 0.15 rad); the
+window with the largest resultant vector gives the angle.
+
+TPU shape: the per-keypoint sample disc is a static 109-point pattern, so
+orientation for ALL keypoints is a [K, 109] gather + one [K, 42, 109]
+masked reduction — no loops over keypoints.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Static disc pattern: (i, j) with i² + j² < 36.
+_DISC = np.array([(i, j) for i in range(-6, 7) for j in range(-6, 7)
+                  if i * i + j * j < 36], np.int32)          # [109, 2]
+_GAUSS_W = np.exp(-(_DISC[:, 0] ** 2 + _DISC[:, 1] ** 2) / (2.0 * 2.5 ** 2)
+                  ).astype(np.float32)                        # σ = 2.5
+_N_WINDOWS = 42
+_WINDOW_STARTS = (np.arange(_N_WINDOWS) * 0.15).astype(np.float32)
+
+
+def _fround(x):
+    """OpenCV fRound: round half away from zero (positive domain here)."""
+    return jnp.floor(x + 0.5).astype(jnp.int32)
+
+
+def compute_orientations(lx_stack, ly_stack, level_hw, xy, size, class_id,
+                         octave, valid):
+    """Dominant orientation per keypoint.
+
+    lx_stack, ly_stack: [L, H, W] padded per-level derivative stacks.
+    level_hw: [L, 2] int32 actual (h, w) of each level.
+    xy [K, 2] original-image coords; size [K]; class_id [K] level index;
+    octave [K]. Returns angle [K] in [0, 2π).
+    """
+    lvl = jnp.clip(class_id, 0, lx_stack.shape[0] - 1)
+    ratio = jnp.exp2(octave.astype(jnp.float32))
+    s = _fround(0.5 * size / ratio).astype(jnp.float32)       # [K]
+    xf = xy[:, 0] / ratio
+    yf = xy[:, 1] / ratio
+
+    disc = jnp.asarray(_DISC, jnp.float32)                    # [109, 2]
+    ix = _fround(xf[:, None] + disc[None, :, 0] * s[:, None])  # [K, 109]
+    iy = _fround(yf[:, None] + disc[None, :, 1] * s[:, None])
+
+    hs = level_hw[lvl, 0][:, None]
+    ws = level_hw[lvl, 1][:, None]
+    ix_c = jnp.clip(ix, 0, ws - 1)
+    iy_c = jnp.clip(iy, 0, hs - 1)
+    lvl_b = jnp.broadcast_to(lvl[:, None], ix.shape)
+
+    res_x = lx_stack[lvl_b, iy_c, ix_c] * jnp.asarray(_GAUSS_W)[None, :]
+    res_y = ly_stack[lvl_b, iy_c, ix_c] * jnp.asarray(_GAUSS_W)[None, :]
+
+    ang = jnp.arctan2(res_y, res_x)
+    ang = jnp.where(ang < 0, ang + 2.0 * jnp.pi, ang)          # [K, 109]
+
+    starts = jnp.asarray(_WINDOW_STARTS)                       # [42]
+    rel = ang[:, None, :] - starts[None, :, None]               # [K, 42, 109]
+    rel = jnp.where(rel < 0, rel + 2.0 * jnp.pi, rel)
+    in_win = rel < (jnp.pi / 3.0)
+
+    sum_x = jnp.sum(jnp.where(in_win, res_x[:, None, :], 0.0), axis=-1)
+    sum_y = jnp.sum(jnp.where(in_win, res_y[:, None, :], 0.0), axis=-1)
+    mag = sum_x * sum_x + sum_y * sum_y                         # [K, 42]
+    best = jnp.argmax(mag, axis=-1)
+    k_idx = jnp.arange(ang.shape[0])
+    bx = sum_x[k_idx, best]
+    by = sum_y[k_idx, best]
+    angle = jnp.arctan2(by, bx)
+    angle = jnp.where(angle < 0, angle + 2.0 * jnp.pi, angle)
+    return jnp.where(valid, angle, 0.0)

@@ -1,0 +1,158 @@
+"""AKAZE tests: scale-space invariants, detection behavior, descriptor
+properties — synthetic fixtures (the reference's golden GeoTIFFs are not in
+the snapshot; SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cubesat_apds_tpu.core.config import AkazeConfig
+from cubesat_apds_tpu.ops.features import scale_space as S
+from cubesat_apds_tpu.ops.features.akaze import detect_and_compute
+
+
+CFG = AkazeConfig(capacity=512)
+
+
+def _checker(n=256, cell=32):
+    y, x = np.mgrid[0:n, 0:n]
+    img = (((y // cell) + (x // cell)) % 2).astype(np.float32)
+    return img
+
+
+def _corners_img(rng, n=256, k=12):
+    """Image with random bright squares — corner-rich, AKAZE-friendly."""
+    img = np.zeros((n, n), np.float32)
+    for _ in range(k):
+        cy, cx = rng.integers(30, n - 60, 2)
+        s = int(rng.integers(12, 30))
+        img[cy:cy + s, cx:cx + s] = rng.uniform(0.4, 1.0)
+    return img
+
+
+def test_fed_tau_schedule():
+    taus = S.fed_tau_by_process_time(5.0)
+    assert (taus > 0).all()
+    # The schedule must cover the requested diffusion time.
+    assert taus.sum() == pytest.approx(5.0, rel=1e-5)
+    # Stability: individual steps can exceed tau_max (that is the point of
+    # FED) but the first/smallest stays below it.
+    assert taus.min() < 0.25 + 1e-6
+
+
+def test_evolution_metadata():
+    meta = S.evolution_metadata(CFG)
+    assert len(meta) == 16
+    assert meta[0].esigma == pytest.approx(1.6)
+    assert meta[0].octave == 0 and meta[15].octave == 3
+    # σ doubles per octave.
+    assert meta[4].esigma == pytest.approx(2 * meta[0].esigma)
+    # time = σ²/2
+    assert meta[3].etime == pytest.approx(0.5 * meta[3].esigma**2)
+
+
+def test_diffusion_preserves_constant():
+    img = jnp.full((64, 64), 0.5, jnp.float32)
+    g = jnp.ones((64, 64), jnp.float32)
+    out = S.fed_cycle(img, g, S.fed_tau_by_process_time(2.0))
+    np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-6)
+
+
+def test_diffusion_smooths_noise(rng):
+    img = jnp.asarray(rng.uniform(0, 1, (64, 64)), jnp.float32)
+    g = jnp.ones_like(img) * 0.5
+    out = np.asarray(S.fed_cycle(img, g, S.fed_tau_by_process_time(2.0)))
+    assert out.std() < np.asarray(img).std()
+    # Diffusion conserves total mass (Neumann boundary).
+    assert out.mean() == pytest.approx(float(np.asarray(img).mean()), abs=1e-5)
+
+
+def test_pm_g2_range(rng):
+    lx = jnp.asarray(rng.normal(0, 1, (32, 32)), jnp.float32)
+    ly = jnp.asarray(rng.normal(0, 1, (32, 32)), jnp.float32)
+    g = np.asarray(S.pm_g2(lx, ly, 1.0))
+    assert (g > 0).all() and (g <= 1).all()
+    # Flat regions diffuse freely (g→1), edges block (g→0).
+    assert float(S.pm_g2(jnp.zeros(()), jnp.zeros(()), 1.0)) == 1.0
+
+
+def test_kcontrast_positive(rng):
+    img = jnp.asarray(rng.uniform(0, 1, (128, 128)), jnp.float32)
+    k = float(S.compute_k_percentile(img))
+    assert k > 0
+
+
+def test_scale_space_shapes():
+    img = jnp.asarray(_checker(128), jnp.float32)
+    ss = S.build_scale_space(img, CFG)
+    assert len(ss.Lt) == 16
+    assert ss.Lt[0].shape == (128, 128)
+    assert ss.Lt[4].shape == (64, 64)    # octave 1
+    assert ss.Lt[12].shape == (16, 16)   # octave 3
+    # Sublevels within an octave keep the octave's shape.
+    assert ss.Lt[5].shape == (64, 64)
+
+
+def test_detect_finds_corners(rng):
+    img = _corners_img(rng)
+    feats = detect_and_compute(img, CFG)
+    n = int(feats.keypoints.count())
+    assert n >= 10, f"expected corner detections, got {n}"
+    kxy = np.asarray(feats.keypoints.xy)[np.asarray(feats.keypoints.valid)]
+    assert (kxy >= 0).all()
+    assert (kxy[:, 0] < 256).all() and (kxy[:, 1] < 256).all()
+
+
+def test_detect_blank_image_finds_nothing():
+    img = jnp.full((128, 128), 0.5, jnp.float32)
+    feats = detect_and_compute(img, CFG)
+    assert int(feats.keypoints.count()) == 0
+
+
+def test_response_sorted_and_capacity(rng):
+    img = _corners_img(rng)
+    feats = detect_and_compute(img, CFG)
+    resp = np.asarray(feats.keypoints.response)
+    valid = np.asarray(feats.keypoints.valid)
+    assert valid.shape == (512,)
+    # Valid entries form a prefix and are response-descending (the store's
+    # ORDER BY response DESC contract, keypointdb.rs:45).
+    nv = valid.sum()
+    assert valid[:nv].all() and not valid[nv:].any()
+    assert (np.diff(resp[:nv]) <= 1e-7).all()
+
+
+def test_descriptors_discriminative(rng):
+    """Keypoints far apart should have different descriptors; the same
+    image processed twice must give identical output (determinism)."""
+    img = _corners_img(rng)
+    f1 = detect_and_compute(img, CFG)
+    f2 = detect_and_compute(img, CFG)
+    np.testing.assert_array_equal(np.asarray(f1.descriptors),
+                                  np.asarray(f2.descriptors))
+    valid = np.asarray(f1.keypoints.valid)
+    d = np.asarray(f1.descriptors)[valid]
+    if len(d) >= 2:
+        # Not all descriptors identical.
+        assert np.unpackbits(d[0] ^ d[1]).sum() > 0
+
+
+def test_matching_shifted_image(rng):
+    """End-to-end invariance: a translated copy must match heavily and
+    the matched displacement must equal the shift."""
+    from cubesat_apds_tpu.ops.match import knn_match, matched_points
+
+    base = _corners_img(rng, n=256, k=16)
+    shift = 8
+    moved = np.roll(base, (shift, shift), axis=(0, 1))
+    f1 = detect_and_compute(base, CFG)
+    f2 = detect_and_compute(moved, CFG)
+    m = knn_match(f1.descriptors, f2.descriptors, ratio=0.7,
+                  q_valid=f1.keypoints.valid, db_valid=f2.keypoints.valid)
+    ok = np.asarray(m.valid)
+    assert ok.sum() >= 8, f"only {ok.sum()} matches"
+    qp, tp = matched_points(f1.keypoints.xy, f2.keypoints.xy, m)
+    disp = np.asarray(tp)[ok] - np.asarray(qp)[ok]
+    med = np.median(disp, axis=0)
+    np.testing.assert_allclose(med, [shift, shift], atol=1.0)
