@@ -1,0 +1,223 @@
+"""Mosaic dataset: the VRT/COG layer rebuilt as an explicit tile index.
+
+Replaces geotiff_extractor's GDAL pipeline (reference: mod.rs:130-422):
+`import_datasets` → folder scan; `to_mosaic_dataset` → VRT + COG copy;
+`to_rgb` → windowed 3-band read with Lanczos downsample, min-max
+normalize, gamma, nodata→alpha. Here the "VRT" is a host-side placement
+index over member rasters; the "COG" materialization is a persisted
+binary mosaic (memory-mapped npy + manifest) that gives the reference's
+resume-from-mosaic restart semantics (preprocessor main.rs:54-66,102-105).
+
+Device work (Lanczos resample, normalize+gamma+merge) stays in
+ops/resample + ops/image; this module only assembles host windows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from cubesat_apds_tpu.core.config import GAMMA_VALUE, MosaicConfig
+from cubesat_apds_tpu.io.tiff import GeoRaster, list_rasters, read_geotiff
+
+
+@dataclasses.dataclass
+class BandsMinMax:
+    """Cached per-band min/max (datasets_min_max, geotiff mod.rs:200-229)."""
+
+    mins: np.ndarray
+    maxs: np.ndarray
+
+
+class MosaicDataset:
+    """A mosaic of GeoTIFF members on a shared north-up world grid."""
+
+    def __init__(self, members: List[GeoRaster]):
+        if not members:
+            raise ValueError("mosaic needs at least one raster")
+        self.members = members
+        ref_gt = members[0].geotransform
+        self.px_w = float(ref_gt[1])
+        self.px_h = float(ref_gt[5])          # negative for north-up
+        xmin = min(m.bounds()[0] for m in members)
+        ymax = max(m.bounds()[3] for m in members)
+        xmax = max(m.bounds()[2] for m in members)
+        ymin = min(m.bounds()[1] for m in members)
+        self.geotransform = np.array(
+            [xmin, self.px_w, 0.0, ymax, 0.0, self.px_h], np.float64)
+        self.width = int(round((xmax - xmin) / self.px_w))
+        self.height = int(round((ymin - ymax) / self.px_h))
+        self.n_bands = max(m.bands.shape[0] for m in members)
+        # Member placement in mosaic pixels.
+        self._placement: List[Tuple[int, int]] = []
+        for m in members:
+            mx, my = m.pixel_to_world(0, 0)
+            px = int(round((mx - xmin) / self.px_w))
+            py = int(round((my - ymax) / self.px_h))
+            self._placement.append((px, py))
+        self._minmax: Optional[BandsMinMax] = None
+        self.elevation: Optional[GeoRaster] = None
+
+    # ---- construction (Datasets trait, mod.rs:85-89) -------------------
+
+    @classmethod
+    def from_folder(cls, folder: str) -> "MosaicDataset":
+        """import_datasets (mod.rs:130-138): open every TIFF in a folder."""
+        paths = list_rasters(folder)
+        if not paths:
+            raise FileNotFoundError(f"no rasters in {folder}")
+        return cls([read_geotiff(p) for p in paths])
+
+    def get_dimensions(self) -> Tuple[int, int]:
+        """(width, height) like get_dimensions (mod.rs:231-235)."""
+        return self.width, self.height
+
+    # ---- reads ---------------------------------------------------------
+
+    def read_window(self, x: int, y: int, w: int, h: int,
+                    bands: Sequence[int] = (1, 2, 3)) -> np.ndarray:
+        """Raw window read → [len(bands), h, w] float32, NaN where empty.
+
+        `bands` are 1-based (GDAL convention, DatasetOptions mod.rs:66-73).
+        """
+        out = np.full((len(bands), h, w), np.nan, np.float32)
+        for m, (px, py) in zip(self.members, self._placement):
+            # Intersection of [x, x+w) with the member's extent.
+            x0 = max(x, px)
+            y0 = max(y, py)
+            x1 = min(x + w, px + m.width)
+            y1 = min(y + h, py + m.height)
+            if x0 >= x1 or y0 >= y1:
+                continue
+            for bi, b in enumerate(bands):
+                if b - 1 >= m.bands.shape[0]:
+                    continue
+                src = m.bands[b - 1, y0 - py:y1 - py, x0 - px:x1 - px]
+                dst = out[bi, y0 - y:y1 - y, x0 - x:x1 - x]
+                # Later members only fill holes (VRT first-wins layering).
+                hole = np.isnan(dst)
+                dst[hole] = src[hole]
+        return out
+
+    def datasets_min_max(self) -> BandsMinMax:
+        """Per-band global min/max, cached (mod.rs:200-229)."""
+        if self._minmax is None:
+            mins = np.full(self.n_bands, np.inf, np.float32)
+            maxs = np.full(self.n_bands, -np.inf, np.float32)
+            for m in self.members:
+                for b in range(min(self.n_bands, m.bands.shape[0])):
+                    band = m.bands[b]
+                    if np.isnan(band).all():
+                        continue
+                    mins[b] = min(mins[b], np.nanmin(band))
+                    maxs[b] = max(maxs[b], np.nanmax(band))
+            self._minmax = BandsMinMax(mins=mins, maxs=maxs)
+        return self._minmax
+
+    def to_rgb(self, window_xy: Tuple[int, int], window_size: Tuple[int, int],
+               out_size: Tuple[int, int],
+               bands: Sequence[int] = (1, 2, 3)) -> np.ndarray:
+        """Windowed RGBA8 read (to_rgb, mod.rs:241-269): read bands,
+        Lanczos-downsample to out_size, min-max normalize + gamma, NaN→
+        alpha 0. Resample + merge run on device (jit)."""
+        import jax.numpy as jnp
+
+        from cubesat_apds_tpu.ops.image import band_merge_rgba
+        from cubesat_apds_tpu.ops.resample import lanczos_downsample
+
+        x, y = window_xy
+        w, h = window_size
+        ow, oh = out_size
+        raw = self.read_window(x, y, w, h, bands)
+        assert w % ow == 0 and h % oh == 0, (
+            "integer downsample factors only (tile grid guarantees this)")
+        factor = w // ow
+        mm = self.datasets_min_max()
+        data = jnp.asarray(raw)
+        if factor > 1:
+            # NaN-safe resample: filter validity alongside values.
+            nanmask = jnp.isnan(data)
+            filled = jnp.where(nanmask, 0.0, data)
+            wsum = lanczos_downsample(1.0 - nanmask.astype(jnp.float32), factor)
+            vals = lanczos_downsample(filled, factor)
+            data = jnp.where(wsum > 0.5, vals / jnp.maximum(wsum, 1e-6),
+                             jnp.nan)
+        sel = [b - 1 for b in bands]
+        rgba = band_merge_rgba(data, mm.mins[sel], mm.maxs[sel])
+        return np.asarray(rgba)
+
+    def get_world_coordinates(self, px: float, py: float):
+        """pixel → (lon, lat, height) using the attached elevation raster
+        (get_world_coordinates, mod.rs:311-329)."""
+        gt = self.geotransform
+        wx = gt[0] + px * gt[1] + py * gt[2]
+        wy = gt[3] + px * gt[4] + py * gt[5]
+        height = 0.0
+        if self.elevation is not None:
+            e = self.elevation
+            inv_sx = 1.0 / e.geotransform[1]
+            inv_sy = 1.0 / e.geotransform[5]
+            ex = int((wx - e.geotransform[0]) * inv_sx)
+            ey = int((wy - e.geotransform[3]) * inv_sy)
+            ex = np.clip(ex, 0, e.width - 1)
+            ey = np.clip(ey, 0, e.height - 1)
+            height = float(np.nan_to_num(e.bands[0, ey, ex]))
+        return wx, wy, height
+
+    def set_elevation_dataset(self, path_or_raster):
+        """Attach the elevation raster (set_elevation_dataset,
+        mod.rs:294-309)."""
+        if isinstance(path_or_raster, GeoRaster):
+            self.elevation = path_or_raster
+        elif os.path.isdir(path_or_raster):
+            merged = MosaicDataset.from_folder(path_or_raster)
+            self.elevation = GeoRaster(
+                bands=merged.read_window(0, 0, merged.width, merged.height,
+                                         bands=(1,)),
+                geotransform=merged.geotransform, epsg=None, nodata=None,
+                path=str(path_or_raster))
+        else:
+            self.elevation = read_geotiff(path_or_raster)
+
+    # ---- materialization (COG equivalent, mod.rs:141-164) --------------
+
+    def materialize(self, path: str):
+        """Persist the full mosaic as a binary artifact + manifest — the
+        restart point that DatasetPath::Mosaic resumes from."""
+        os.makedirs(path, exist_ok=True)
+        full = self.read_window(0, 0, self.width, self.height,
+                                bands=tuple(range(1, self.n_bands + 1)))
+        np.save(os.path.join(path, "mosaic.npy"), full)
+        mm = self.datasets_min_max()
+        manifest = {
+            "version": 1,
+            "width": self.width,
+            "height": self.height,
+            "n_bands": self.n_bands,
+            "geotransform": self.geotransform.tolist(),
+            "mins": mm.mins.tolist(),
+            "maxs": mm.maxs.tolist(),
+        }
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+
+    @classmethod
+    def from_materialized(cls, path: str) -> "MosaicDataset":
+        """import_mosaic_dataset (mod.rs:279-288): reopen a materialized
+        mosaic without re-reading the member rasters."""
+        with open(os.path.join(path, "manifest.json")) as f:
+            manifest = json.load(f)
+        bands = np.load(os.path.join(path, "mosaic.npy"), mmap_mode="r")
+        raster = GeoRaster(
+            bands=bands,
+            geotransform=np.asarray(manifest["geotransform"], np.float64),
+            epsg=None, nodata=None, path=path)
+        ds = cls([raster])
+        ds._minmax = BandsMinMax(
+            mins=np.asarray(manifest["mins"], np.float32),
+            maxs=np.asarray(manifest["maxs"], np.float32))
+        return ds

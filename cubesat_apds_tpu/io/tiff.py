@@ -1,0 +1,170 @@
+"""Host-side GeoTIFF reading (PIL pixels + our own geo-tag parsing).
+
+Replaces the GDAL raster layer (reference: geotiff_extractor/src/
+image_extractor/mod.rs — gdal crate FFI). No GDAL/rasterio in this
+environment, so geo metadata comes straight from the TIFF IFD:
+
+  * 33550 ModelPixelScaleTag, 33922 ModelTiepointTag → affine geotransform
+    (GDAL convention, north-up; full 34264 transform honoured when present)
+  * 34735 GeoKeyDirectoryTag → EPSG code (best-effort)
+  * 42113 GDAL_NODATA → nodata value
+
+Pixel decode goes through PIL (strips/tiles, LZW/deflate/packbits all
+supported there); bands come back as float32 with nodata → NaN, matching
+the reference's read_as::<f32> + nodata → alpha behavior
+(mod.rs:332-378).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+from PIL import Image, TiffTags
+
+Image.MAX_IMAGE_PIXELS = None  # satellite mosaics exceed PIL's default cap
+
+_TAG_PIXEL_SCALE = 33550
+_TAG_TIEPOINT = 33922
+_TAG_TRANSFORM = 34264
+_TAG_GEO_KEYS = 34735
+_TAG_GDAL_NODATA = 42113
+
+VALID_EXTENSIONS = (".tif", ".tiff")
+
+
+@dataclasses.dataclass
+class GeoRaster:
+    """One decoded raster: bands [C, H, W] float32 (NaN = nodata) + geo."""
+
+    bands: np.ndarray
+    geotransform: np.ndarray       # [6] GDAL order
+    epsg: Optional[int]
+    nodata: Optional[float]
+    path: str
+
+    @property
+    def height(self) -> int:
+        return self.bands.shape[1]
+
+    @property
+    def width(self) -> int:
+        return self.bands.shape[2]
+
+    def pixel_to_world(self, px, py):
+        gt = self.geotransform
+        return (gt[0] + px * gt[1] + py * gt[2],
+                gt[3] + px * gt[4] + py * gt[5])
+
+    def bounds(self):
+        """(xmin, ymin, xmax, ymax) in world coordinates."""
+        corners = [(0, 0), (self.width, 0), (0, self.height),
+                   (self.width, self.height)]
+        pts = [self.pixel_to_world(x, y) for x, y in corners]
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        return min(xs), min(ys), max(xs), max(ys)
+
+
+def _geotransform_from_tags(tags) -> np.ndarray:
+    if _TAG_TRANSFORM in tags:
+        m = np.asarray(tags[_TAG_TRANSFORM], np.float64)  # 4×4 row-major
+        return np.array([m[3], m[0], m[1], m[7], m[4], m[5]], np.float64)
+    if _TAG_PIXEL_SCALE in tags and _TAG_TIEPOINT in tags:
+        sx, sy = tags[_TAG_PIXEL_SCALE][0], tags[_TAG_PIXEL_SCALE][1]
+        tp = tags[_TAG_TIEPOINT]
+        # Tiepoint: (i, j, k, X, Y, Z) — pixel (i,j) maps to world (X,Y).
+        i, j, X, Y = tp[0], tp[1], tp[3], tp[4]
+        return np.array([X - i * sx, sx, 0.0, Y + j * sy, 0.0, -sy],
+                        np.float64)
+    # No geo info: identity transform.
+    return np.array([0.0, 1.0, 0.0, 0.0, 0.0, 1.0], np.float64)
+
+
+def _epsg_from_geokeys(tags) -> Optional[int]:
+    if _TAG_GEO_KEYS not in tags:
+        return None
+    keys = tags[_TAG_GEO_KEYS]
+    # GeoKeyDirectory: header of 4 shorts then (keyID, location, count,
+    # value) quadruples. Geographic CS = key 2048, projected CS = key 3072.
+    vals = list(keys)
+    epsg = None
+    for k in range(4, len(vals) - 3, 4):
+        key_id, loc, _count, value = vals[k:k + 4]
+        if loc == 0 and key_id in (3072, 2048):
+            epsg = int(value)
+            if key_id == 3072:
+                break
+    return epsg
+
+
+def _nodata_from_tags(tags) -> Optional[float]:
+    if _TAG_GDAL_NODATA not in tags:
+        return None
+    raw = tags[_TAG_GDAL_NODATA]
+    try:
+        return float(str(raw).strip().split()[0])
+    except (ValueError, IndexError):
+        return None
+
+
+def read_geotiff(path: str, apply_nodata: bool = True) -> GeoRaster:
+    """Decode a GeoTIFF into float32 bands [C, H, W] + geo metadata."""
+    with Image.open(path) as im:
+        tags = dict(im.tag_v2) if hasattr(im, "tag_v2") else {}
+        arr = np.asarray(im)
+    if arr.ndim == 2:
+        arr = arr[None]
+    else:  # H, W, C → C, H, W
+        arr = np.moveaxis(arr, -1, 0)
+    bands = arr.astype(np.float32)
+    nodata = _nodata_from_tags(tags)
+    if apply_nodata and nodata is not None:
+        bands = np.where(bands == nodata, np.nan, bands)
+    return GeoRaster(
+        bands=bands,
+        geotransform=_geotransform_from_tags(tags),
+        epsg=_epsg_from_geokeys(tags),
+        nodata=nodata,
+        path=path,
+    )
+
+
+def write_geotiff(path: str, bands: np.ndarray, geotransform,
+                  nodata: Optional[float] = None):
+    """Minimal GeoTIFF writer (fixtures + materialized mosaics).
+
+    Writes pixel data via PIL and the geo tags (pixel scale + tiepoint +
+    optional nodata). North-up transforms only.
+    """
+    bands = np.asarray(bands)
+    if bands.ndim == 3:
+        if bands.shape[0] in (1, 3, 4) and bands.shape[0] < bands.shape[-1]:
+            img_arr = np.moveaxis(bands, 0, -1)
+        else:
+            img_arr = bands
+        if img_arr.shape[-1] == 1:
+            img_arr = img_arr[..., 0]
+    else:
+        img_arr = bands
+    im = Image.fromarray(img_arr)
+    gt = np.asarray(geotransform, np.float64)
+    ifd = Image.Exif() if False else None  # tags go through tiffinfo below
+    tiffinfo = {
+        _TAG_PIXEL_SCALE: (float(gt[1]), float(-gt[5]), 0.0),
+        _TAG_TIEPOINT: (0.0, 0.0, 0.0, float(gt[0]), float(gt[3]), 0.0),
+    }
+    if nodata is not None:
+        tiffinfo[_TAG_GDAL_NODATA] = str(nodata)
+    im.save(path, format="TIFF", tiffinfo=tiffinfo)
+
+
+def list_rasters(folder: str) -> List[str]:
+    """All TIFFs in a folder (dataset_from_folder, geotiff mod.rs:178-197)."""
+    out = []
+    for name in sorted(os.listdir(folder)):
+        if os.path.splitext(name)[1].lower() in VALID_EXTENSIONS:
+            out.append(os.path.join(folder, name))
+    return out

@@ -1,0 +1,143 @@
+"""Online localization: camera frame → features → match → pose.
+
+The end-to-end loop the reference provides only as library pieces
+(SURVEY.md §1 "gap worth knowing", §3.2): AKAZE on the frame, kNN+ratio
+match against DB descriptors (get_knn_matches semantics), then either a
+2D–2D homography (find_homography_mat) or a 2D–3D PnP solve against
+world coordinates from geotransform + elevation (elevationdb
+get_world_coordinates → pnp_solver_ransac).
+
+The hot path (`localize_frame_jit`) is ONE jitted function: detect →
+match → RANSAC — no host round-trips; DB descriptors live on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cubesat_apds_tpu.core.config import PipelineConfig
+from cubesat_apds_tpu.core.types import (
+    CameraModel,
+    Correspondences,
+    HomographyResult,
+    PoseSolution,
+)
+from cubesat_apds_tpu.ops.features.akaze import detect_and_compute
+from cubesat_apds_tpu.ops.geometry.homography import find_homography_ransac
+from cubesat_apds_tpu.ops.geometry.pnp import solve_pnp_ransac
+from cubesat_apds_tpu.ops.match import knn_match, matched_points, unpack_bits
+from cubesat_apds_tpu.store.feature_store import FeatureStore
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DeviceDb:
+    """Device-resident descriptor DB block (one LoD)."""
+
+    descriptors: jax.Array   # [M, 61] uint8
+    xy: jax.Array            # [M, 2] float32 — reference-frame coords
+    valid: jax.Array         # [M] bool
+    obj_points: jax.Array    # [M, 3] float32 — ECEF (zeros if no elevation)
+    has_world: bool = dataclasses.field(metadata=dict(static=True),
+                                        default=False)
+
+
+def load_device_db(store: FeatureStore, lod: int = 0,
+                   pad_multiple: int = 2048) -> DeviceDb:
+    """Export one LoD of the store to device arrays, with ECEF world
+    coordinates precomputed when elevation data is present."""
+    desc, xy, valid, _img = store.export_device_block(lod, pad_multiple)
+    has_world = store._elevation is not None and 1 in store._geotransforms
+    if has_world:
+        obj = store.get_world_coordinates(1, xy[:, 0], xy[:, 1])
+        obj = np.where(valid[:, None], obj, 0.0).astype(np.float32)
+    else:
+        obj = np.zeros((len(xy), 3), np.float32)
+    return DeviceDb(
+        descriptors=jnp.asarray(desc),
+        xy=jnp.asarray(xy),
+        valid=jnp.asarray(valid),
+        obj_points=jnp.asarray(obj),
+        has_world=has_world,
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LocalizationResult:
+    homography: HomographyResult
+    pose: Optional[PoseSolution]
+    num_matches: jax.Array
+    num_keypoints: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("config", "solve_pose"))
+def localize_frame_jit(frame, db: DeviceDb, camera: CameraModel,
+                       config: PipelineConfig = PipelineConfig(),
+                       solve_pose: bool = False):
+    """frame [H, W] float32 grayscale → (homography, pose?, counters).
+
+    Fully on-device: AKAZE → kNN ratio match (MXU Hamming) → RANSAC
+    homography; optionally PnP-RANSAC against the DB's ECEF points.
+    """
+    feats = detect_and_compute(frame, config.akaze)
+    kp = feats.keypoints
+
+    matches = knn_match(
+        feats.descriptors, db.descriptors, ratio=config.match.ratio,
+        q_valid=kp.valid, db_valid=db.valid, block=config.match.db_block)
+
+    q_pts, t_pts = matched_points(kp.xy, db.xy, matches)
+    homog = find_homography_ransac(q_pts, t_pts, valid=matches.valid,
+                                   config=config.ransac)
+
+    pose = None
+    if solve_pose:
+        obj = db.obj_points[matches.train_idx]
+        # Recenter ECEF points to float32-friendly magnitudes: subtract the
+        # valid-match centroid (poses then live in the recentered frame,
+        # translation re-offset below).
+        w = matches.valid.astype(jnp.float32)[:, None]
+        centroid = jnp.sum(obj * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+        corr = Correspondences(
+            obj_points=(obj - centroid).astype(jnp.float32),
+            img_points=q_pts,
+            valid=matches.valid,
+        )
+        pose = solve_pnp_ransac(corr, camera, config.pnp)
+        # Solved pose maps (obj − centroid) → camera, i.e.
+        # cam = R·obj + (t − R·centroid); re-offset t to the world frame.
+        pose = PoseSolution(
+            rvec=pose.rvec,
+            tvec=pose.tvec - _rmat(pose.rvec) @ centroid.astype(jnp.float32),
+            inliers=pose.inliers, num_inliers=pose.num_inliers, ok=pose.ok)
+
+    return LocalizationResult(
+        homography=homog,
+        pose=pose,
+        num_matches=matches.count(),
+        num_keypoints=kp.count(),
+    )
+
+
+def _rmat(rvec):
+    from cubesat_apds_tpu.ops.geometry.rodrigues import rodrigues_to_matrix
+    return rodrigues_to_matrix(rvec)
+
+
+def localize_frame(frame, store: FeatureStore, camera: CameraModel,
+                   lod: int = 0, config: PipelineConfig = PipelineConfig(),
+                   solve_pose: Optional[bool] = None) -> LocalizationResult:
+    """Convenience host wrapper: export DB (cached by caller ideally) and
+    run the jitted pipeline."""
+    db = load_device_db(store, lod)
+    if solve_pose is None:
+        solve_pose = db.has_world
+    return localize_frame_jit(jnp.asarray(frame, jnp.float32), db, camera,
+                              config, solve_pose)

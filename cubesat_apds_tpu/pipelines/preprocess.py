@@ -1,0 +1,119 @@
+"""Offline DB build: mosaic → LoD tile grid → AKAZE → store.
+
+The preprocessor binary rebuilt (reference: preprocessor/src/main.rs:70-327).
+Where the reference fans out rayon threads per tile with two serializing
+mutexes around GDAL and Postgres (SURVEY.md §3.1 "hot loops"), the TPU
+pipeline batches tiles: host window reads feed a device batch, AKAZE runs
+vmapped over the batch, and store inserts are plain array appends.
+
+LoD math matches level_of_detail.rs exactly: tile_size = min_resolution /
+2^(L−1) (main.rs:212), per-LoD grid of columns×rows (main.rs:215-216),
+keypoint coordinates upscaled to the reference frame as x·2^lod + offset
+(main.rs:296-304).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from cubesat_apds_tpu.core.config import AkazeConfig, PipelineConfig
+from cubesat_apds_tpu.io.mosaic import MosaicDataset
+from cubesat_apds_tpu.ops.features.akaze import detect_and_compute_batch
+from cubesat_apds_tpu.ops.image import calculate_amount_of_levels, rgb_to_gray
+from cubesat_apds_tpu.store.feature_store import FeatureStore
+
+
+@dataclasses.dataclass
+class PreprocessStats:
+    lods: int = 0
+    tiles: int = 0
+    keypoints: int = 0
+
+
+def preprocess(
+    dataset: MosaicDataset,
+    store: Optional[FeatureStore] = None,
+    config: PipelineConfig = PipelineConfig(),
+    amount_lod: Optional[int] = None,
+    tile_batch: int = 8,
+    elevation_path: Optional[str] = None,
+    progress: Optional[Callable[[str], None]] = None,
+) -> tuple[FeatureStore, PreprocessStats]:
+    """Build a FeatureStore from a mosaic (main.rs:70-124 flow)."""
+    store = store or FeatureStore()
+    stats = PreprocessStats()
+    log = progress or (lambda s: None)
+
+    width, height = dataset.get_dimensions()
+    resolution = min(width, height)
+    if amount_lod is None:
+        amount_lod = calculate_amount_of_levels(resolution)
+    stats.lods = amount_lod
+
+    # Mosaic geotransform is dataset id 1; elevation handling mirrors
+    # add_elevation (main.rs:128-140): store both geotransforms + raster.
+    store.set_geotransform(1, dataset.geotransform)
+    if elevation_path is not None:
+        dataset.set_elevation_dataset(elevation_path)
+    if dataset.elevation is not None:
+        e = dataset.elevation
+        store.set_geotransform(2, e.geotransform)
+        store.set_elevation(np.nan_to_num(e.bands[0]), e.geotransform)
+
+    # tile_size = resolution / 2^(amount_lod−1)  (main.rs:212)
+    tile_size = resolution // (2 ** (amount_lod - 1))
+    cap = config.akaze.capacity
+
+    for lod in range(amount_lod):
+        step = tile_size * (2 ** lod)          # window edge in mosaic px
+        columns = max(width // step, 1)
+        rows = max(height // step, 1)
+        log(f"LoD {lod}: {columns}x{rows} tiles of {step} px -> {tile_size}")
+
+        tiles_meta = [(r, c) for r in range(rows) for c in range(columns)]
+        for start in range(0, len(tiles_meta), tile_batch):
+            batch_meta = tiles_meta[start:start + tile_batch]
+            grays = []
+            for r, c in batch_meta:
+                rgba = dataset.to_rgb((c * step, r * step), (step, step),
+                                      (tile_size, tile_size))
+                grays.append(rgb_to_gray(jnp.asarray(rgba[..., :3])))
+            batch = jnp.stack(grays)
+            feats = detect_and_compute_batch(batch, config.akaze)
+
+            kp = feats.keypoints
+            xy = np.asarray(kp.xy)
+            size = np.asarray(kp.size)
+            angle = np.asarray(kp.angle)
+            response = np.asarray(kp.response)
+            octave = np.asarray(kp.octave)
+            class_id = np.asarray(kp.class_id)
+            valid = np.asarray(kp.valid)
+            desc = np.asarray(feats.descriptors)
+
+            for bi, (r, c) in enumerate(batch_meta):
+                # Tile record in REFERENCE-frame coordinates
+                # (InsertImage, main.rs:280-293).
+                iid = store.create_image(
+                    c * step, r * step, (c + 1) * step, (r + 1) * step, lod)
+                v = valid[bi]
+                n = int(v.sum())
+                if n == 0:
+                    stats.tiles += 1
+                    continue
+                scale = float(2 ** lod)
+                # Coordinate upscale x·2^lod + tile offset (main.rs:296-304).
+                gx = xy[bi, v, 0] * scale + c * step
+                gy = xy[bi, v, 1] * scale + r * step
+                store.add_keypoints(
+                    iid, gx, gy, size[bi, v], angle[bi, v],
+                    response[bi, v], octave[bi, v], class_id[bi, v],
+                    desc[bi, v])
+                stats.tiles += 1
+                stats.keypoints += n
+        log(f"LoD {lod} done: {len(store)} keypoints total")
+    return store, stats

@@ -1,0 +1,109 @@
+"""GeoTIFF IO + mosaic tests (synthetic fixtures replacing the reference's
+resources/test tree — SURVEY.md §4 notes it is absent upstream)."""
+
+import numpy as np
+import pytest
+
+from cubesat_apds_tpu.io.mosaic import MosaicDataset
+from cubesat_apds_tpu.io.tiff import read_geotiff, write_geotiff, list_rasters
+
+
+def _write_tile(path, rng, origin_x, origin_y, size=64, scale=0.5, value=None):
+    """uint8 RGB tile with a north-up geotransform."""
+    if value is None:
+        data = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+    else:
+        data = np.full((size, size, 3), value, np.uint8)
+    gt = [origin_x, scale, 0.0, origin_y, 0.0, -scale]
+    write_geotiff(str(path), data, gt)
+    return data, np.asarray(gt)
+
+
+def test_write_read_roundtrip(tmp_path, rng):
+    data, gt = _write_tile(tmp_path / "a.tif", rng, 100.0, 50.0)
+    r = read_geotiff(str(tmp_path / "a.tif"))
+    assert r.bands.shape == (3, 64, 64)
+    np.testing.assert_array_equal(r.bands.astype(np.uint8)[0], data[..., 0])
+    np.testing.assert_allclose(r.geotransform, gt)
+
+
+def test_nodata_becomes_nan(tmp_path):
+    data = np.zeros((16, 16), np.uint8)
+    data[0, 0] = 7
+    write_geotiff(str(tmp_path / "n.tif"), data, [0, 1, 0, 0, 0, -1],
+                  nodata=0)
+    r = read_geotiff(str(tmp_path / "n.tif"))
+    assert np.isnan(r.bands[0, 1, 1])
+    assert r.bands[0, 0, 0] == 7.0
+    assert r.nodata == 0.0
+
+
+def test_list_rasters_filters_extensions(tmp_path, rng):
+    _write_tile(tmp_path / "a.tif", rng, 0, 0)
+    (tmp_path / "junk.txt").write_text("no")
+    assert len(list_rasters(str(tmp_path))) == 1
+
+
+def test_mosaic_two_tiles(tmp_path, rng):
+    # Two adjacent 64×64 tiles side by side (origin offsets in world units).
+    _write_tile(tmp_path / "a.tif", rng, 0.0, 32.0, size=64, scale=0.5,
+                value=100)
+    _write_tile(tmp_path / "b.tif", rng, 32.0, 32.0, size=64, scale=0.5,
+                value=200)
+    ds = MosaicDataset.from_folder(str(tmp_path))
+    assert ds.get_dimensions() == (128, 64)
+    win = ds.read_window(0, 0, 128, 64, bands=(1,))
+    assert win[0, 0, 0] == 100.0
+    assert win[0, 0, 100] == 200.0
+    assert not np.isnan(win).any()
+
+
+def test_mosaic_minmax_and_to_rgb(tmp_path, rng):
+    _write_tile(tmp_path / "a.tif", rng, 0.0, 32.0, size=64, scale=0.5)
+    ds = MosaicDataset.from_folder(str(tmp_path))
+    mm = ds.datasets_min_max()
+    assert (mm.maxs >= mm.mins).all()
+    rgba = ds.to_rgb((0, 0), (64, 64), (32, 32))
+    assert rgba.shape == (32, 32, 4)
+    assert rgba.dtype == np.uint8
+    assert (rgba[..., 3] == 255).all()
+
+
+def test_mosaic_gap_is_alpha_zero(tmp_path, rng):
+    # Two tiles with a horizontal gap: the hole must come out alpha 0.
+    _write_tile(tmp_path / "a.tif", rng, 0.0, 32.0, size=64, scale=0.5)
+    _write_tile(tmp_path / "c.tif", rng, 64.0, 32.0, size=64, scale=0.5)
+    ds = MosaicDataset.from_folder(str(tmp_path))
+    # a covers world x 0..32 (px 0..64), c covers 64..96 (px 128..192);
+    # the world gap 32..64 is px 64..128.
+    assert ds.get_dimensions() == (192, 64)
+    rgba = ds.to_rgb((0, 0), (192, 64), (192, 64))
+    assert (rgba[:, 64:128, 3] == 0).all()     # the gap
+    assert (rgba[:, :64, 3] == 255).all()
+    assert (rgba[:, 128:, 3] == 255).all()
+
+
+def test_materialize_resume(tmp_path, rng):
+    _write_tile(tmp_path / "a.tif", rng, 0.0, 32.0, size=64, scale=0.5)
+    ds = MosaicDataset.from_folder(str(tmp_path))
+    ds.materialize(str(tmp_path / "cog"))
+    ds2 = MosaicDataset.from_materialized(str(tmp_path / "cog"))
+    assert ds2.get_dimensions() == ds.get_dimensions()
+    np.testing.assert_allclose(ds2.geotransform, ds.geotransform)
+    w1 = ds.read_window(10, 10, 20, 20)
+    w2 = ds2.read_window(10, 10, 20, 20)
+    np.testing.assert_array_equal(w1, w2)
+
+
+def test_world_coordinates_with_elevation(tmp_path, rng):
+    _write_tile(tmp_path / "a.tif", rng, 10.0, 56.0, size=64, scale=0.01)
+    ds = MosaicDataset.from_folder(str(tmp_path))
+    elev_dir = tmp_path / "elev"
+    elev_dir.mkdir()
+    elev = np.full((64, 64), 147, np.uint8)
+    write_geotiff(str(elev_dir / "e.tif"), elev, [10.0, 0.01, 0, 56.0, 0, -0.01])
+    ds.set_elevation_dataset(str(elev_dir / "e.tif"))
+    wx, wy, h = ds.get_world_coordinates(32, 32)
+    assert wx == pytest.approx(10.32)
+    assert wy == pytest.approx(55.68)
+    assert h == 147.0

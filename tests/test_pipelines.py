@@ -1,0 +1,149 @@
+"""End-to-end pipeline tests: preprocess (DB build) + localize (frame→pose).
+
+This is the minimum end-to-end slice of SURVEY.md §7 step 3, exercised on
+synthetic GeoTIFF fixtures.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cubesat_apds_tpu.core.config import (
+    AkazeConfig,
+    MatchConfig,
+    PipelineConfig,
+    RansacConfig,
+)
+from cubesat_apds_tpu.core.types import CameraModel
+from cubesat_apds_tpu.io.mosaic import MosaicDataset
+from cubesat_apds_tpu.io.tiff import write_geotiff
+from cubesat_apds_tpu.pipelines.localize import (
+    load_device_db,
+    localize_frame,
+    localize_frame_jit,
+)
+from cubesat_apds_tpu.pipelines.preprocess import preprocess
+from cubesat_apds_tpu.store.feature_store import FeatureStore
+
+
+CFG = PipelineConfig(
+    akaze=AkazeConfig(capacity=512),
+    match=MatchConfig(ratio=0.75),
+    ransac=RansacConfig(num_hypotheses=256),
+)
+
+
+def _scene_image(rng, n=256):
+    """Corner-rich synthetic satellite scene."""
+    img = np.zeros((n, n), np.float32)
+    for _ in range(40):
+        cy, cx = rng.integers(10, n - 40, 2)
+        s = int(rng.integers(8, 24))
+        img[cy:cy + s, cx:cx + s] = rng.uniform(0.3, 1.0)
+    return img
+
+
+@pytest.fixture
+def mosaic_dir(tmp_path, rng):
+    img = _scene_image(rng, 256)
+    rgb = np.stack([img, img, img], -1)
+    rgb8 = (rgb * 255).astype(np.uint8)
+    write_geotiff(str(tmp_path / "scene.tif"), rgb8,
+                  [10.0, 0.001, 0, 56.0, 0, -0.001])
+    return tmp_path, img
+
+
+def test_preprocess_builds_store(mosaic_dir):
+    path, img = mosaic_dir
+    ds = MosaicDataset.from_folder(str(path))
+    store, stats = preprocess(ds, config=CFG, amount_lod=1)
+    assert stats.tiles >= 1
+    assert stats.keypoints > 20
+    assert len(store) == stats.keypoints
+    imgs = store.find_images_from_lod(0)
+    assert len(imgs) >= 1
+    # Keypoint coordinates are in the reference (mosaic) frame.
+    cols, _ = store.read_keypoints_from_lod(0)
+    assert (cols["x"] >= 0).all() and (cols["x"] <= 256).all()
+
+
+def test_preprocess_multi_lod(mosaic_dir):
+    path, img = mosaic_dir
+    ds = MosaicDataset.from_folder(str(path))
+    store, stats = preprocess(ds, config=CFG, amount_lod=2)
+    assert stats.lods == 2
+    assert len(store.find_images_from_lod(0)) == 4   # 2x2 grid of 128px
+    assert len(store.find_images_from_lod(1)) == 1   # 1 tile of 256->128
+    # LoD 1 keypoints upscaled: coordinates still span the full frame.
+    cols, _ = store.read_keypoints_from_lod(1)
+    if len(cols["x"]) > 0:
+        assert cols["x"].max() > 64
+
+
+def _processed_gray(ds, x, y, w, h):
+    """The same normalize+gamma pixels the preprocessor fed to AKAZE."""
+    from cubesat_apds_tpu.ops.image import rgb_to_gray
+
+    rgba = ds.to_rgb((x, y), (w, h), (w, h))
+    return np.asarray(rgb_to_gray(jnp.asarray(rgba[..., :3])))
+
+
+def test_localize_same_frame_identity(mosaic_dir):
+    """Localizing the exact source frame must produce ~identity homography
+    to the reference frame."""
+    path, img = mosaic_dir
+    ds = MosaicDataset.from_folder(str(path))
+    store, _ = preprocess(ds, config=CFG, amount_lod=1)
+    cam = CameraModel.ideal(300.0, 300.0, 128.0, 128.0)
+    frame = _processed_gray(ds, 0, 0, 256, 256)
+    res = localize_frame(frame, store, cam, lod=0, config=CFG)
+    assert int(res.num_matches) >= 8
+    assert bool(res.homography.ok)
+    H = np.asarray(res.homography.H)
+    # Identity up to subpixel jitter.
+    assert abs(H[0, 2]) < 2.0 and abs(H[1, 2]) < 2.0
+    assert H[0, 0] == pytest.approx(1.0, abs=0.05)
+    assert H[1, 1] == pytest.approx(1.0, abs=0.05)
+
+
+def test_localize_shifted_frame(mosaic_dir, rng):
+    """A cropped sub-window must localize at its offset in the mosaic."""
+    path, img = mosaic_dir
+    ds = MosaicDataset.from_folder(str(path))
+    store, _ = preprocess(ds, config=CFG, amount_lod=1)
+    cam = CameraModel.ideal(300.0, 300.0, 64.0, 64.0)
+    full = _processed_gray(ds, 0, 0, 256, 256)
+    crop = full[64:192, 32:160]                      # offset (x=32, y=64)
+    res = localize_frame(crop, store, cam, lod=0, config=CFG)
+    assert bool(res.homography.ok)
+    H = np.asarray(res.homography.H)
+    assert H[0, 2] == pytest.approx(32.0, abs=2.0)
+    assert H[1, 2] == pytest.approx(64.0, abs=2.0)
+
+
+def test_localize_with_pose(mosaic_dir, tmp_path):
+    """With elevation attached, the PnP path must return a sane camera
+    pose (camera center above the scene at plausible ECEF magnitude)."""
+    path, img = mosaic_dir
+    ds = MosaicDataset.from_folder(str(path))
+    elev = np.full((64, 64), 100, np.uint8)
+    edir = tmp_path / "elev"
+    edir.mkdir(exist_ok=True)
+    write_geotiff(str(edir / "e.tif"), elev, [10.0, 0.004, 0, 56.0, 0, -0.004])
+    store, _ = preprocess(ds, config=CFG, amount_lod=1,
+                          elevation_path=str(edir / "e.tif"))
+    cam = CameraModel.ideal(300.0, 300.0, 128.0, 128.0)
+    res = localize_frame(img, store, cam, lod=0, config=CFG, solve_pose=True)
+    assert res.pose is not None
+    assert bool(res.pose.ok)
+    assert int(res.pose.num_inliers) >= 6
+
+
+def test_device_db_export(mosaic_dir):
+    path, img = mosaic_dir
+    ds = MosaicDataset.from_folder(str(path))
+    store, _ = preprocess(ds, config=CFG, amount_lod=1)
+    db = load_device_db(store, lod=0, pad_multiple=256)
+    assert db.descriptors.shape[0] % 256 == 0
+    assert int(db.valid.sum()) == len(store)
