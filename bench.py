@@ -1,0 +1,103 @@
+"""Headline benchmark: end-to-end frames/sec/chip (detect → match → pose).
+
+BASELINE.json config 1 workload: 512×512 grayscale frame, AKAZE
+detect+describe, kNN ratio match against a 10k-descriptor DB, RANSAC
+homography + PnP pose — the full online localization step, one jit.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is relative to the 100 fps/chip north-star target
+(BASELINE.md: the reference publishes no numbers of its own).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _make_frame(rng, n=512):
+    """Corner-rich synthetic satellite frame (texture at AKAZE scales)."""
+    img = np.zeros((n, n), np.float32)
+    for _ in range(120):
+        cy, cx = rng.integers(10, n - 50, 2)
+        s = int(rng.integers(8, 40))
+        img[cy:cy + s, cx:cx + s] = rng.uniform(0.2, 1.0)
+    return img
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cubesat_apds_tpu.core.config import (
+        AkazeConfig, MatchConfig, PipelineConfig, PnPConfig, RansacConfig)
+    from cubesat_apds_tpu.core.types import CameraModel
+    from cubesat_apds_tpu.ops.features.akaze import detect_and_compute
+    from cubesat_apds_tpu.pipelines.localize import DeviceDb, localize_frame_jit
+
+    rng = np.random.default_rng(42)
+    config = PipelineConfig(
+        akaze=AkazeConfig(capacity=2048),
+        match=MatchConfig(ratio=0.75),
+        ransac=RansacConfig(num_hypotheses=256),
+        pnp=PnPConfig(num_hypotheses=64),
+    )
+
+    frame = jnp.asarray(_make_frame(rng))
+
+    # Build a realistic 10k-descriptor DB: extract from a shifted variant
+    # so matching does real work, pad to 10240.
+    db_src = np.roll(np.asarray(frame), (7, 13), axis=(0, 1))
+    feats = detect_and_compute(jnp.asarray(db_src),
+                               AkazeConfig(capacity=2048))
+    desc = np.asarray(feats.descriptors)
+    xy = np.asarray(feats.keypoints.xy)
+    valid = np.asarray(feats.keypoints.valid)
+    m = 10240
+    reps = m // len(desc) + 1
+    desc_db = np.tile(desc, (reps, 1))[:m]
+    xy_db = np.tile(xy, (reps, 1))[:m]
+    valid_db = np.tile(valid, reps)[:m]
+    # Perturb the tiled copies so top-2 isn't degenerate.
+    flip = rng.integers(0, 256, desc_db.shape, dtype=np.uint8)
+    flip[:len(desc)] = 0
+    desc_db = desc_db ^ (flip & rng.integers(0, 2, desc_db.shape,
+                                             dtype=np.uint8) * 255)
+    obj = np.concatenate([xy_db, np.zeros((m, 1), np.float32)], axis=1)
+
+    db = DeviceDb(
+        descriptors=jnp.asarray(desc_db),
+        xy=jnp.asarray(xy_db.astype(np.float32)),
+        valid=jnp.asarray(valid_db),
+        obj_points=jnp.asarray(obj.astype(np.float32)),
+        has_world=True,
+    )
+    camera = CameraModel.ideal(500.0, 500.0, 256.0, 256.0)
+
+    def step(f):
+        return localize_frame_jit(f, db, camera, config, solve_pose=True)
+
+    # Warmup / compile.
+    out = step(frame)
+    jax.block_until_ready(out)
+
+    iters = 50
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(frame)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = iters / dt
+
+    print(json.dumps({
+        "metric": "e2e_localize_512px_10kdb_fps",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / 100.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -76,27 +76,32 @@ def hamming_matrix(q_bits, db_bits):
     return pop_q[:, None] + pop_db[None, :] - 2 * dot
 
 
+# int32 tie-break keys: hamming distances are ≤ 512, so key = d·M + i
+# stays below 2^31 for DBs up to ~4M entries (larger DBs go through the
+# blockwise path where M is the block size). TPU-friendly: no int64.
+_INVALID_KEY = jnp.int32(2**31 - 1)
+
+
 def _top2_with_index(dist, db_valid=None):
     """Per-row two smallest distances + best index, OpenCV tie-break
     (lowest index wins among equal distances)."""
-    d = dist.astype(jnp.float32)
-    if db_valid is not None:
-        d = jnp.where(db_valid[None, :], d, _INVALID_DIST)
-    m = d.shape[1]
+    m = dist.shape[1]
+    assert 512 * (m + 1) < 2**31 - 1, "DB block too large for int32 keys"
+    d_i = jnp.clip(dist, 0, None).astype(jnp.int32)
     idx = jnp.arange(m, dtype=jnp.int32)
-    # Lowest-index tie-break: compare (distance, index) lexicographically by
-    # folding index into the mantissa-safe integer key: d*M + i (distances are
-    # integers ≤ 512 so the key stays exact in float64/int64 range via int32).
-    key = d.astype(jnp.int64) * m + idx[None, :]
-    key = jnp.where(d >= _INVALID_DIST, jnp.int64(2**62), key)
+    key = d_i * m + idx[None, :]
+    if db_valid is not None:
+        key = jnp.where(db_valid[None, :], key, _INVALID_KEY)
     best_key = jnp.min(key, axis=1)
-    i0 = (best_key % m).astype(jnp.int32)
-    d0 = (best_key // m).astype(jnp.float32)
-    key2 = jnp.where(key == best_key[:, None], jnp.int64(2**62), key)
+    invalid0 = best_key == _INVALID_KEY
+    i0 = jnp.where(invalid0, 0, best_key % m).astype(jnp.int32)
+    d0 = jnp.where(invalid0, _INVALID_DIST,
+                   (best_key // m).astype(jnp.float32))
+    key2 = jnp.where(key == best_key[:, None], _INVALID_KEY, key)
     second_key = jnp.min(key2, axis=1)
-    d1 = (second_key // m).astype(jnp.float32)
-    d0 = jnp.where(best_key >= 2**62, _INVALID_DIST, d0)
-    d1 = jnp.where(second_key >= 2**62, _INVALID_DIST, d1)
+    invalid1 = second_key == _INVALID_KEY
+    d1 = jnp.where(invalid1, _INVALID_DIST,
+                   (second_key // m).astype(jnp.float32))
     return d0, d1, i0
 
 

@@ -1,0 +1,128 @@
+"""Calibration tests: Zhang closed-form + LM, chessboard detection.
+
+Mirrors the calibrator binary's contract (reference: calibrator/src/
+main.rs:27-80): ≥10 views of a planar grid → K (fx, skew, cx, fy, cy) +
+distortion + RMS reprojection error."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cubesat_apds_tpu.core.config import CalibConfig
+from cubesat_apds_tpu.core.camera import distort_normalized
+from cubesat_apds_tpu.ops.geometry.calibration import (
+    calibrate_camera,
+    planar_grid,
+)
+from cubesat_apds_tpu.ops.geometry.chessboard import find_chessboard_corners
+from cubesat_apds_tpu.ops.geometry.rodrigues import rodrigues_to_matrix
+
+
+NX, NY = 7, 6
+K_TRUE = np.array([[600.0, 0.0, 320.0], [0.0, 580.0, 240.0], [0, 0, 1.0]])
+
+
+def _synth_views(rng, n_views, dist=None, noise=0.0):
+    """Render the planar grid under random poses with K_TRUE."""
+    obj = np.asarray(planar_grid(NX, NY, square=1.0))
+    views = []
+    exts = []
+    for _ in range(n_views):
+        rvec = np.array([rng.normal(0, 0.12), rng.normal(0, 0.12),
+                         rng.normal(0, 0.3)])
+        R = np.asarray(rodrigues_to_matrix(jnp.asarray(rvec)))
+        t = np.array([rng.uniform(-2, -1), rng.uniform(-2, -1),
+                      rng.uniform(8, 14)])
+        cam = np.concatenate([obj, np.zeros((len(obj), 1))], -1) @ R.T + t
+        xy = cam[:, :2] / cam[:, 2:3]
+        if dist is not None:
+            xy = np.asarray(distort_normalized(jnp.asarray(xy),
+                                               jnp.asarray(dist)))
+        pix = xy @ np.array([[K_TRUE[0, 0], 0], [0, K_TRUE[1, 1]]]) + \
+            K_TRUE[:2, 2]
+        if noise:
+            pix = pix + rng.normal(0, noise, pix.shape)
+        views.append(pix)
+        exts.append((rvec, t))
+    return obj, np.stack(views).astype(np.float32), exts
+
+
+def test_calibrate_ideal_views(rng):
+    obj, views, _ = _synth_views(rng, 12)
+    res = calibrate_camera(jnp.asarray(obj), jnp.asarray(views))
+    assert bool(res.ok)
+    K = np.asarray(res.camera.K)
+    assert K[0, 0] == pytest.approx(600.0, rel=0.01)
+    assert K[1, 1] == pytest.approx(580.0, rel=0.01)
+    assert K[0, 2] == pytest.approx(320.0, abs=3.0)
+    assert K[1, 2] == pytest.approx(240.0, abs=3.0)
+    assert float(res.rms) < 0.1
+
+
+def test_calibrate_with_distortion(rng):
+    dist = np.array([0.08, -0.02, 0.0, 0.0, 0.0])
+    obj, views, _ = _synth_views(rng, 12, dist=dist)
+    res = calibrate_camera(jnp.asarray(obj), jnp.asarray(views),
+                           config=CalibConfig(lm_iters=60))
+    assert bool(res.ok)
+    K = np.asarray(res.camera.K)
+    assert K[0, 0] == pytest.approx(600.0, rel=0.02)
+    d = np.asarray(res.camera.dist)
+    assert d[0] == pytest.approx(0.08, abs=0.02)
+    assert float(res.rms) < 0.2
+
+
+def test_calibrate_noisy(rng):
+    obj, views, _ = _synth_views(rng, 14, noise=0.3)
+    res = calibrate_camera(jnp.asarray(obj), jnp.asarray(views))
+    assert bool(res.ok)
+    K = np.asarray(res.camera.K)
+    assert K[0, 0] == pytest.approx(600.0, rel=0.03)
+    assert float(res.rms) < 1.0
+
+
+def test_calibrate_masked_view(rng):
+    """A garbage view masked out by view_valid must not perturb K —
+    fixing the reference quirk of passing failed detections through."""
+    obj, views, _ = _synth_views(rng, 12)
+    views_bad = views.copy()
+    views_bad[3] = rng.uniform(0, 640, views[3].shape)
+    vv = np.ones(12, bool)
+    vv[3] = False
+    res = calibrate_camera(jnp.asarray(obj), jnp.asarray(views_bad),
+                           view_valid=jnp.asarray(vv))
+    assert bool(res.ok)
+    K = np.asarray(res.camera.K)
+    assert K[0, 0] == pytest.approx(600.0, rel=0.02)
+
+
+def _render_board(H=240, W=320, cell=24, bx=16, by=6, nx=NX, ny=NY):
+    """Synthetic checkerboard with (nx, ny) INNER corners at
+    (bx + (i+1)·cell, by + (j+1)·cell)."""
+    img = np.full((H, W), 0.9, np.float32)
+    for r in range(ny + 1):
+        for c in range(nx + 1):
+            shade = 0.1 if (r + c) % 2 == 0 else 0.9
+            img[by + r * cell:by + (r + 1) * cell,
+                bx + c * cell:bx + (c + 1) * cell] = shade
+    return img
+
+
+def test_chessboard_detection():
+    img = _render_board()
+    corners, found = find_chessboard_corners(jnp.asarray(img), NX, NY)
+    assert bool(found)
+    c = np.asarray(corners).reshape(NY, NX, 2)
+    # Inner corner (i, j) sits BETWEEN pixels, at
+    # (16 + (i+1)·24 − 0.5, 6 + (j+1)·24 − 0.5).
+    for j in range(NY):
+        for i in range(NX):
+            assert c[j, i, 0] == pytest.approx(39.5 + i * 24, abs=1.0)
+            assert c[j, i, 1] == pytest.approx(29.5 + j * 24, abs=1.0)
+
+
+def test_chessboard_not_found_on_blank():
+    img = jnp.full((240, 320), 0.5, jnp.float32)
+    _, found = find_chessboard_corners(img, NX, NY)
+    assert not bool(found)
