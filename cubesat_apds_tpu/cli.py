@@ -1,0 +1,170 @@
+"""Command-line interface: preprocess / localize / calibrate / bench.
+
+Replaces the reference's clap CLIs (preprocessor/src/main.rs:22-66,
+calibrator/src/main.rs:12-25) and adds the `localize` command the
+reference never shipped (SURVEY.md §1 gap). Flags keep the reference's
+names where they exist; `--database-url` becomes `--store` (a directory),
+`--cpu-num` becomes `--tile-batch` (the device batch width).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _cmd_preprocess(args):
+    from cubesat_apds_tpu.core.config import PipelineConfig
+    from cubesat_apds_tpu.io.mosaic import MosaicDataset
+    from cubesat_apds_tpu.pipelines.preprocess import preprocess
+    from cubesat_apds_tpu.store.feature_store import FeatureStore
+
+    if args.mosaic:
+        ds = MosaicDataset.from_materialized(args.mosaic)
+    else:
+        ds = MosaicDataset.from_folder(args.dataset)
+        if args.materialize:
+            ds.materialize(args.materialize)
+            print(f"materialized mosaic -> {args.materialize}")
+    if args.calculate_lod:
+        # --calculate-lod mode prints the LoD resolutions and exits
+        # (preprocessor main.rs:74-84 + print_resolution).
+        from cubesat_apds_tpu.ops.image import calculate_amount_of_levels
+
+        w, h = ds.get_dimensions()
+        res = min(w, h)
+        n = calculate_amount_of_levels(res)
+        print(f"dimensions: {w}x{h}; LoD levels: {n}")
+        r = res
+        while r >= 500:
+            print(f"  lod resolution: {r}")
+            r //= 2
+        return 0
+    t0 = time.perf_counter()
+    store, stats = preprocess(
+        ds, config=PipelineConfig(), amount_lod=args.lod or None,
+        tile_batch=args.tile_batch, elevation_path=args.elevation_path,
+        progress=print)
+    store.save(args.store)
+    print(f"store saved -> {args.store}: {stats.keypoints} keypoints, "
+          f"{stats.tiles} tiles, {stats.lods} LoDs "
+          f"({time.perf_counter() - t0:.1f}s)")
+    return 0
+
+
+def _cmd_localize(args):
+    import numpy as np
+    from PIL import Image
+
+    from cubesat_apds_tpu.core.config import PipelineConfig
+    from cubesat_apds_tpu.core.types import CameraModel
+    from cubesat_apds_tpu.pipelines.localize import localize_frame
+    from cubesat_apds_tpu.store.feature_store import FeatureStore
+
+    store = FeatureStore.load(args.store)
+    with Image.open(args.frame) as im:
+        frame = np.asarray(im.convert("F"), np.float32) / 255.0
+    if args.camera:
+        with open(args.camera) as f:
+            c = json.load(f)
+        import jax.numpy as jnp
+
+        camera = CameraModel(K=jnp.asarray(c["K"], jnp.float32),
+                             dist=jnp.asarray(c.get("dist", [0] * 5),
+                                              jnp.float32))
+    else:
+        h, w = frame.shape
+        camera = CameraModel.ideal(float(max(h, w)), float(max(h, w)),
+                                   w / 2.0, h / 2.0)
+    t0 = time.perf_counter()
+    res = localize_frame(frame, store, camera, lod=args.lod)
+    dt = time.perf_counter() - t0
+    out = {
+        "keypoints": int(res.num_keypoints),
+        "matches": int(res.num_matches),
+        "homography_ok": bool(res.homography.ok),
+        "homography": np.asarray(res.homography.H).tolist(),
+        "inliers": int(res.homography.num_inliers),
+        "seconds": round(dt, 3),
+    }
+    if res.pose is not None:
+        out["pose_ok"] = bool(res.pose.ok)
+        out["rvec"] = np.asarray(res.pose.rvec).tolist()
+        out["tvec"] = np.asarray(res.pose.tvec).tolist()
+        out["pose_inliers"] = int(res.pose.num_inliers)
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def _cmd_calibrate(args):
+    from cubesat_apds_tpu.pipelines.calibrate import (
+        calibrate_from_images,
+        format_report,
+        read_gray_images,
+    )
+
+    images = read_gray_images(args.img_path)
+    nx, ny = (int(v) for v in args.corners.split("x"))
+    res, found = calibrate_from_images(images, (nx, ny))
+    print(f"views used: {int(found.sum())}/{len(images)}")
+    print(format_report(res))
+    if args.output:
+        import numpy as np
+
+        with open(args.output, "w") as f:
+            json.dump({"K": np.asarray(res.camera.K).tolist(),
+                       "dist": np.asarray(res.camera.dist).tolist(),
+                       "rms": float(res.rms)}, f, indent=2)
+        print(f"camera model saved -> {args.output}")
+    return 0
+
+
+def _cmd_bench(args):
+    import subprocess
+
+    return subprocess.call([sys.executable, "bench.py"])
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="apds-tpu",
+        description="TPU-native satellite attitude determination pipeline")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("preprocess", help="build the feature store")
+    src = pp.add_mutually_exclusive_group(required=True)
+    src.add_argument("--dataset", help="folder of GeoTIFF tiles")
+    src.add_argument("--mosaic", help="materialized mosaic to resume from")
+    pp.add_argument("--store", required=True, help="output store directory")
+    pp.add_argument("--materialize", help="persist the mosaic here")
+    pp.add_argument("-l", "--lod", type=int, default=0,
+                    help="LoD levels (0 = auto, like --calculate-lod)")
+    pp.add_argument("--calculate-lod", action="store_true")
+    pp.add_argument("--tile-batch", type=int, default=8)
+    pp.add_argument("-e", "--elevation-path")
+    pp.set_defaults(fn=_cmd_preprocess)
+
+    pl = sub.add_parser("localize", help="frame -> pose")
+    pl.add_argument("--store", required=True)
+    pl.add_argument("--frame", required=True)
+    pl.add_argument("--camera", help="camera json (from calibrate)")
+    pl.add_argument("--lod", type=int, default=0)
+    pl.set_defaults(fn=_cmd_localize)
+
+    pc = sub.add_parser("calibrate", help="camera intrinsics")
+    pc.add_argument("img_path")
+    pc.add_argument("corners", help="inner corners, e.g. 7x6")
+    pc.add_argument("-o", "--output", help="save camera json here")
+    pc.set_defaults(fn=_cmd_calibrate)
+
+    pb = sub.add_parser("bench", help="run the headline benchmark")
+    pb.set_defaults(fn=_cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -42,6 +42,18 @@ def _pad_stack(levels: List[jax.Array]) -> jax.Array:
     return jnp.stack(padded)
 
 
+def _packed_stack(lt: List[jax.Array], lx: List[jax.Array],
+                  ly: List[jax.Array]) -> jax.Array:
+    """[L, H, W, 4] channel-packed (Lt, Lx, Ly, 0) stack.
+
+    One gather then serves intensity + both derivatives for orientation
+    and MLDB sampling (4th channel pads to a lane-friendly width).
+    """
+    stacks = [_pad_stack(x) for x in (lt, lx, ly)]
+    packed = jnp.stack(stacks + [jnp.zeros_like(stacks[0])], axis=-1)
+    return packed
+
+
 @functools.partial(jax.jit, static_argnames=("config", "capacity"))
 def detect_and_compute(img, config: AkazeConfig = AkazeConfig(),
                        capacity: int | None = None) -> Features:
@@ -57,21 +69,19 @@ def detect_and_compute(img, config: AkazeConfig = AkazeConfig(),
     ss = build_scale_space(img, config)
     kps, lx_list, ly_list = detect_keypoints(ss, config, capacity)
 
-    lt_stack = _pad_stack(ss.Lt)
-    lx_stack = _pad_stack(lx_list)
-    ly_stack = _pad_stack(ly_list)
+    packed = _packed_stack(ss.Lt, lx_list, ly_list)
     level_hw = jnp.asarray(
         [[a.shape[0], a.shape[1]] for a in ss.Lt], jnp.int32)
 
     angle = compute_orientations(
-        lx_stack, ly_stack, level_hw, kps.xy, kps.size, kps.class_id,
+        packed, level_hw, kps.xy, kps.size, kps.class_id,
         kps.octave, kps.valid)
     kps = Keypoints(
         xy=kps.xy, size=kps.size, angle=angle, response=kps.response,
         octave=kps.octave, class_id=kps.class_id, valid=kps.valid)
 
     desc = mldb_descriptors(
-        lt_stack, lx_stack, ly_stack, level_hw,
+        packed, level_hw,
         kps.xy, kps.size, kps.angle, kps.class_id, kps.octave, kps.valid)
     return Features(keypoints=kps, descriptors=desc)
 

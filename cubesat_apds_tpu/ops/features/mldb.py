@@ -71,15 +71,16 @@ def _fround(x):
     return jnp.floor(x + 0.5).astype(jnp.int32)
 
 
-def mldb_descriptors(lt_stack, lx_stack, ly_stack, level_hw,
+def mldb_descriptors(packed_stack, level_hw,
                      xy, size, angle, class_id, octave, valid):
     """Packed MLDB descriptors [K, 61] uint8 for all keypoints at once.
 
-    lt_stack/lx_stack/ly_stack: [L, H, W] padded level stacks (Lt is the
-    diffused image; Lx/Ly the σ-scaled detection derivatives).
+    packed_stack: [L, H, W, C≥3] per-level stack, channels (Lt, Lx, Ly,
+    ...) — Lt the diffused image, Lx/Ly the σ-scaled detection
+    derivatives. One vectorized gather fetches all three channels.
     """
     K = xy.shape[0]
-    lvl = jnp.clip(class_id, 0, lt_stack.shape[0] - 1)
+    lvl = jnp.clip(class_id, 0, packed_stack.shape[0] - 1)
     ratio = jnp.exp2(octave.astype(jnp.float32))
     s = _fround(0.5 * size / ratio).astype(jnp.float32)      # scale [K]
     xf = xy[:, 0] / ratio
@@ -101,9 +102,10 @@ def mldb_descriptors(lt_stack, lx_stack, ly_stack, level_hw,
     iy_c = jnp.clip(iy, 0, hs - 1)
     lvl_b = jnp.broadcast_to(lvl[:, None], ix.shape)
 
-    di = lt_stack[lvl_b, iy_c, ix_c]                         # [K, S]
-    rx = lx_stack[lvl_b, iy_c, ix_c]
-    ry = ly_stack[lvl_b, iy_c, ix_c]
+    vals = packed_stack[lvl_b, iy_c, ix_c]                   # [K, S, C]
+    di = vals[..., 0]
+    rx = vals[..., 1]
+    ry = vals[..., 2]
     # Rotate the gradient into the keypoint frame (linear — safe to do
     # before cell averaging).
     dx = rx * co[:, None] + ry * si[:, None]

@@ -30,16 +30,17 @@ def _fround(x):
     return jnp.floor(x + 0.5).astype(jnp.int32)
 
 
-def compute_orientations(lx_stack, ly_stack, level_hw, xy, size, class_id,
+def compute_orientations(packed_stack, level_hw, xy, size, class_id,
                          octave, valid):
     """Dominant orientation per keypoint.
 
-    lx_stack, ly_stack: [L, H, W] padded per-level derivative stacks.
+    packed_stack: [L, H, W, C≥3] per-level stack with channels
+    (Lt, Lx, Ly, ...) — one vectorized gather fetches both derivatives.
     level_hw: [L, 2] int32 actual (h, w) of each level.
     xy [K, 2] original-image coords; size [K]; class_id [K] level index;
     octave [K]. Returns angle [K] in [0, 2π).
     """
-    lvl = jnp.clip(class_id, 0, lx_stack.shape[0] - 1)
+    lvl = jnp.clip(class_id, 0, packed_stack.shape[0] - 1)
     ratio = jnp.exp2(octave.astype(jnp.float32))
     s = _fround(0.5 * size / ratio).astype(jnp.float32)       # [K]
     xf = xy[:, 0] / ratio
@@ -55,8 +56,9 @@ def compute_orientations(lx_stack, ly_stack, level_hw, xy, size, class_id,
     iy_c = jnp.clip(iy, 0, hs - 1)
     lvl_b = jnp.broadcast_to(lvl[:, None], ix.shape)
 
-    res_x = lx_stack[lvl_b, iy_c, ix_c] * jnp.asarray(_GAUSS_W)[None, :]
-    res_y = ly_stack[lvl_b, iy_c, ix_c] * jnp.asarray(_GAUSS_W)[None, :]
+    vals = packed_stack[lvl_b, iy_c, ix_c]                    # [K, 109, C]
+    res_x = vals[..., 1] * jnp.asarray(_GAUSS_W)[None, :]
+    res_y = vals[..., 2] * jnp.asarray(_GAUSS_W)[None, :]
 
     ang = jnp.arctan2(res_y, res_x)
     ang = jnp.where(ang < 0, ang + 2.0 * jnp.pi, ang)          # [K, 109]
