@@ -72,22 +72,32 @@ def det_hessian_response(Lsmooth, sigma_size: int):
     return ldet, lx * s, ly * s
 
 
-def _maxpool3x3(x):
-    """3×3 max-pool, same shape, edge padding of −inf."""
+def _maxpool_1d(x, r: int, axis: int):
     neg = jnp.finfo(x.dtype).min
-    xp = jnp.pad(x, ((1, 1), (1, 1)), constant_values=neg)
-    return jax.lax.reduce_window(
-        xp, neg, jax.lax.max, (3, 3), (1, 1), "VALID")
+    n = x.shape[axis]
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (r, r)
+    xp = jnp.pad(x, pads, constant_values=neg)
+    out = None
+    for k in range(2 * r + 1):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(k, k + n)
+        t = xp[tuple(sl)]
+        out = t if out is None else jnp.maximum(out, t)
+    return out
+
+
+def _maxpool3x3(x):
+    """3×3 max-pool, same shape (separable shift-max: fuses on the VPU,
+    avoiding reduce_window's windowed lowering)."""
+    return _maxpool_1d(_maxpool_1d(x, 1, x.ndim - 2), 1, x.ndim - 1)
 
 
 def _maxpool_radius(x, r: int):
-    """(2r+1)² max-pool, same shape."""
+    """(2r+1)² max-pool, same shape, separable."""
     if r <= 0:
         return x
-    neg = jnp.finfo(x.dtype).min
-    xp = jnp.pad(x, ((r, r), (r, r)), constant_values=neg)
-    return jax.lax.reduce_window(
-        xp, neg, jax.lax.max, (2 * r + 1, 2 * r + 1), (1, 1), "VALID")
+    return _maxpool_1d(_maxpool_1d(x, r, x.ndim - 2), r, x.ndim - 1)
 
 
 def _resample_to(x, shape_hw):

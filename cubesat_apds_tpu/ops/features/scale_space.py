@@ -122,22 +122,33 @@ def compute_k_percentile(img, percentile: float = 0.7, gscale: float = 1.0,
     smooth = gaussian_blur(img, gscale)
     lx = scharr_x(smooth)[..., 1:-1, 1:-1]
     ly = scharr_y(smooth)[..., 1:-1, 1:-1]
-    modg = jnp.sqrt(lx * lx + ly * ly)
-    hmax = jnp.max(modg)
-    nz = modg > 0.0
+    modg2 = lx * lx + ly * ly
+    hmax2 = jnp.max(modg2)
+    hmax = jnp.sqrt(hmax2)
+    nz = modg2 > 0.0
     npoints = jnp.sum(nz)
-    bin_idx = jnp.clip(
-        jnp.floor(nbins * (modg / jnp.where(hmax > 0, hmax, 1.0))).astype(jnp.int32),
-        0, nbins - 1)
-    hist = jnp.zeros((nbins,), jnp.int32).at[bin_idx.reshape(-1)].add(
-        nz.reshape(-1).astype(jnp.int32))
     nthreshold = (npoints.astype(jnp.float32) * percentile).astype(jnp.int32)
-    cum = jnp.cumsum(hist)
-    # k = number of bins consumed before the cumulative count reaches the
-    # threshold (searchsorted on the cumulative histogram).
-    k_bin = jnp.searchsorted(cum, nthreshold, side="left") + 1
+    # Histogram bin of |∇| on [0, hmax]: cum(k) = #{|∇| in bins < k} —
+    # recovered by BISECTION on k instead of a 260K-element scatter-add
+    # (TPU scatters are serial; nine masked reduces are ~100× cheaper).
+    # cum(k) = #{floor(nbins·|∇|/hmax) < k} = #{|∇|² < (k·hmax/nbins)²}.
+    def count_below(k):
+        t = (k.astype(jnp.float32) * hmax / nbins) ** 2
+        return jnp.sum(nz & (modg2 < t))
+
+    def bisect(state, _):
+        lo, hi = state  # invariant: cum(lo) < thr, cum(hi) >= thr
+        mid = (lo + hi) // 2
+        below = count_below(mid) < nthreshold
+        return (jnp.where(below, mid, lo), jnp.where(below, hi, mid)), None
+
+    # 9 rounds cover nbins=300 (2^9 = 512).
+    (lo, hi), _ = jax.lax.scan(
+        bisect, (jnp.int32(0), jnp.int32(nbins)), None, length=9)
+    k_bin = hi
     kperc = hmax * k_bin.astype(jnp.float32) / nbins
-    return jnp.where(npoints * percentile < 1, jnp.float32(0.03), kperc)
+    return jnp.where(npoints.astype(jnp.float32) * percentile < 1.0,
+                     jnp.float32(0.03), kperc)
 
 
 # --- Evolution ---------------------------------------------------------------

@@ -142,10 +142,16 @@ def epnp(obj_points, img_points_normalized, weights=None):
         dj = cj[_PAIRS[:, 0]] - cj[_PAIRS[:, 1]]
         return jnp.sum(di * dj, axis=-1)               # [6]
 
+    def _lsq(L, b):
+        """Small least squares via normal equations (lstsq would SVD —
+        a slow TPU custom-call; these systems are ≤6×6 and well scaled)."""
+        LtL = L.T @ L + 1e-9 * jnp.eye(L.shape[1], dtype=L.dtype)
+        return jnp.linalg.solve(LtL, L.T @ b)
+
     def case_betas_2():
         # Unknowns [β1², β1β2, β2²]; 6×3 least squares.
         L = jnp.stack([_dv(0, 0), 2 * _dv(0, 1), _dv(1, 1)], axis=-1)
-        sol = jnp.linalg.lstsq(L, rho)[0]
+        sol = _lsq(L, rho)
         b1 = jnp.sqrt(jnp.maximum(jnp.abs(sol[0]), 1e-18))
         b2 = jnp.sqrt(jnp.maximum(jnp.abs(sol[2]), 1e-18)) * jnp.sign(sol[1]) * jnp.sign(sol[0])
         return jnp.array([b1, b2, 0.0, 0.0], obj.dtype)
@@ -155,7 +161,7 @@ def epnp(obj_points, img_points_normalized, weights=None):
         L = jnp.stack(
             [_dv(0, 0), 2 * _dv(0, 1), _dv(1, 1), 2 * _dv(0, 2), 2 * _dv(1, 2),
              _dv(2, 2)], axis=-1)
-        sol = jnp.linalg.lstsq(L, rho)[0]
+        sol = _lsq(L, rho)
         b1 = jnp.sqrt(jnp.maximum(jnp.abs(sol[0]), 1e-18))
         b2 = jnp.sqrt(jnp.maximum(jnp.abs(sol[2]), 1e-18)) * jnp.sign(sol[1]) * jnp.sign(sol[0])
         b3 = jnp.sqrt(jnp.maximum(jnp.abs(sol[5]), 1e-18)) * jnp.sign(sol[3]) * jnp.sign(sol[0])

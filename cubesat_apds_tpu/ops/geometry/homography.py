@@ -81,6 +81,41 @@ def dlt_homography(src, dst, weights=None):
     return H
 
 
+def dlt_homography_solve(src, dst, weights=None):
+    """Fast DLT variant fixing H[2,2] = 1: an 8×8 linear solve instead of
+    the 9×9 eigendecomposition (TPU eigh custom-calls cost ~10× an LU
+    solve). Used on the RANSAC hot path; degenerate H (true H[2,2] = 0)
+    yields a non-finite result that the RANSAC scorer discards.
+    """
+    src = jnp.asarray(src)
+    dst = jnp.asarray(dst, src.dtype)
+    if weights is None:
+        weights = jnp.ones(src.shape[:-1], src.dtype)
+    else:
+        weights = jnp.asarray(weights, src.dtype)
+    sn, Ts = _normalize_points(src, weights)
+    dn, Td = _normalize_points(dst, weights)
+    x, y = sn[..., 0], sn[..., 1]
+    u, v = dn[..., 0], dn[..., 1]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    # Rows of A·h8 = b with h = [h00..h21], h22 = 1.
+    r1 = jnp.stack([x, y, one, zero, zero, zero, -u * x, -u * y], axis=-1)
+    r2 = jnp.stack([zero, zero, zero, x, y, one, -v * x, -v * y], axis=-1)
+    A = jnp.concatenate([r1, r2], axis=-2)               # [..., 2N, 8]
+    b = jnp.concatenate([u, v], axis=-1)[..., None]      # [..., 2N, 1]
+    w2 = jnp.concatenate([weights, weights], axis=-1)[..., None]
+    AtA = jnp.einsum("...ni,...nj->...ij", A * w2, A * w2)
+    Atb = jnp.einsum("...ni,...nj->...ij", A * w2, b * w2)
+    eye = jnp.eye(8, dtype=src.dtype) * 1e-8
+    h8 = jnp.linalg.solve(AtA + eye, Atb)[..., 0]
+    Hn = jnp.concatenate([h8, jnp.ones(h8.shape[:-1] + (1,), h8.dtype)],
+                         axis=-1).reshape(h8.shape[:-1] + (3, 3))
+    H = jnp.linalg.solve(Td, Hn @ Ts)
+    scale = H[..., 2:3, 2:3]
+    return H / jnp.where(jnp.abs(scale) < 1e-12, 1e-12, scale)
+
+
 def symmetric_transfer_error(H, src, dst):
     """Forward reprojection error ||H·src − dst||² per point [..., N]."""
     from cubesat_apds_tpu.ops.warp import apply_homography
@@ -117,7 +152,7 @@ def find_homography_ransac(src, dst, valid=None, config: RansacConfig = RansacCo
 
     s4 = src[sample_idx]                               # [H, 4, 2]
     d4 = dst[sample_idx]
-    Hs = dlt_homography(s4, d4)                        # [H, 3, 3]
+    Hs = dlt_homography_solve(s4, d4)                  # [H, 3, 3]
 
     # --- Score all hypotheses against all points. ---
     err = symmetric_transfer_error(Hs, src[None], dst[None])  # [H, N]
@@ -134,7 +169,7 @@ def find_homography_ransac(src, dst, valid=None, config: RansacConfig = RansacCo
     def refine(_, carry):
         H_cur, inl_cur = carry
         w = inl_cur.astype(jnp.float32)
-        H_new = dlt_homography(src, dst, w)
+        H_new = dlt_homography_solve(src, dst, w)
         err_new = symmetric_transfer_error(H_new, src, dst)
         inl_new = (err_new < thr2) & valid
         better = jnp.sum(inl_new) >= jnp.sum(inl_cur)
