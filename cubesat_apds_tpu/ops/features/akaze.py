@@ -44,12 +44,14 @@ def _pad_stack(levels: List[jax.Array]) -> jax.Array:
 
 def _packed_stack(lt: List[jax.Array], lx: List[jax.Array],
                   ly: List[jax.Array]) -> jax.Array:
-    """[L, H, W, 4] channel-packed (Lt, Lx, Ly, 0) stack.
+    """[L, H, W, 4] channel-packed (Lt, Lx, Ly, 0) stack in bfloat16.
 
-    One gather then serves intensity + both derivatives for orientation
-    and MLDB sampling (4th channel pads to a lane-friendly width).
+    One gather serves intensity + both derivatives for orientation and
+    MLDB sampling (4th channel pads to a lane-friendly width). bf16
+    halves the random-access gather traffic; the descriptor compares
+    cell MEANS, whose f32 accumulation absorbs the quantization.
     """
-    stacks = [_pad_stack(x) for x in (lt, lx, ly)]
+    stacks = [_pad_stack(x).astype(jnp.bfloat16) for x in (lt, lx, ly)]
     packed = jnp.stack(stacks + [jnp.zeros_like(stacks[0])], axis=-1)
     return packed
 

@@ -102,7 +102,7 @@ def mldb_descriptors(packed_stack, level_hw,
     iy_c = jnp.clip(iy, 0, hs - 1)
     lvl_b = jnp.broadcast_to(lvl[:, None], ix.shape)
 
-    vals = packed_stack[lvl_b, iy_c, ix_c]                   # [K, S, C]
+    vals = packed_stack[lvl_b, iy_c, ix_c].astype(jnp.float32)  # [K, S, C]
     di = vals[..., 0]
     rx = vals[..., 1]
     ry = vals[..., 2]

@@ -56,7 +56,7 @@ def compute_orientations(packed_stack, level_hw, xy, size, class_id,
     iy_c = jnp.clip(iy, 0, hs - 1)
     lvl_b = jnp.broadcast_to(lvl[:, None], ix.shape)
 
-    vals = packed_stack[lvl_b, iy_c, ix_c]                    # [K, 109, C]
+    vals = packed_stack[lvl_b, iy_c, ix_c].astype(jnp.float32)  # [K, 109, C]
     res_x = vals[..., 1] * jnp.asarray(_GAUSS_W)[None, :]
     res_y = vals[..., 2] * jnp.asarray(_GAUSS_W)[None, :]
 
