@@ -20,6 +20,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from cubesat_apds_tpu.ops.geometry.linalg_small import (
+    cholesky_solve,
+    det3x3,
+    lstsq_normal,
+    polar_rotation,
+)
 from cubesat_apds_tpu.ops.geometry.rodrigues import matrix_to_rodrigues
 
 # Control-point distance constraint index pairs (6 pairs of 4 points).
@@ -40,10 +46,13 @@ def _control_points(obj, w):
 
 
 def _barycentric(obj, cw):
-    """α s.t. obj = α @ cw, Σα = 1. Solve the 4×4 homogeneous system."""
+    """α s.t. obj = α @ cw, Σα = 1. Solve the 4×4 system via normal
+    equations (custom-call-free; control points are well-conditioned by
+    construction so the squared condition number is benign)."""
     A = jnp.concatenate([cw.T, jnp.ones((1, 4), cw.dtype)], axis=0)   # [4,4]
     b = jnp.concatenate([obj.T, jnp.ones((1, obj.shape[0]), obj.dtype)], axis=0)
-    alpha = jnp.linalg.solve(A, b)                                     # [4, n]
+    AtA = A.T @ A
+    alpha = cholesky_solve(AtA, A.T @ b, damp=1e-12)                   # [4, n]
     return alpha.T                                                     # [n, 4]
 
 
@@ -72,17 +81,27 @@ def _pairwise_dists(pts4):
     return jnp.sqrt(jnp.maximum(jnp.sum(d * d, axis=-1), 1e-18))
 
 
-def _procrustes(src, dst, w):
-    """Weighted rigid alignment: R, t minimizing ||R·src + t − dst||²."""
+def _procrustes(src, dst, w, fast: bool = False):
+    """Weighted rigid alignment: R, t minimizing ||R·src + t − dst||².
+
+    fast=True replaces the 3×3 SVD custom-call with a Newton polar
+    iteration (pure VPU arithmetic). The polar factor equals the
+    Procrustes optimum whenever det(S) > 0; reflection cases come out
+    with det −1 and score as degenerate RANSAC hypotheses — the exact
+    SVD path is kept for the final (accuracy-critical) refit.
+    """
     wsum = jnp.maximum(jnp.sum(w), 1e-12)
     mu_s = jnp.sum(src * w[:, None], axis=0) / wsum
     mu_d = jnp.sum(dst * w[:, None], axis=0) / wsum
     S = ((dst - mu_d) * w[:, None]).T @ (src - mu_s)
-    U, _, Vt = jnp.linalg.svd(S)
-    d = jnp.sign(jnp.linalg.det(U @ Vt))
-    D = jnp.diag(jnp.array([1.0, 1.0, 0.0], S.dtype)) + jnp.diag(
-        jnp.array([0.0, 0.0, 1.0], S.dtype)) * d
-    R = U @ D @ Vt
+    if fast:
+        R = polar_rotation(S)
+    else:
+        U, _, Vt = jnp.linalg.svd(S)
+        d = jnp.sign(jnp.linalg.det(U @ Vt))
+        D = jnp.diag(jnp.array([1.0, 1.0, 0.0], S.dtype)) + jnp.diag(
+            jnp.array([0.0, 0.0, 1.0], S.dtype)) * d
+        R = U @ D @ Vt
     t = mu_d - R @ mu_s
     return R, t
 
@@ -99,18 +118,20 @@ def _gauss_newton_betas(betas, vmat, rho, iters: int = 5):
     def body(_, b):
         r = dists_sq(b) - rho
         J = jax.jacfwd(dists_sq)(b)          # [6, 4]
-        JtJ = J.T @ J + 1e-9 * jnp.eye(4, dtype=b.dtype)
-        delta = jnp.linalg.solve(JtJ, J.T @ r)
+        JtJ = J.T @ J
+        delta = cholesky_solve(JtJ, J.T @ r, damp=1e-9)
         return b - delta
 
     return jax.lax.fori_loop(0, iters, body, betas)
 
 
-def epnp(obj_points, img_points_normalized, weights=None):
+def epnp(obj_points, img_points_normalized, weights=None,
+         fast: bool = False):
     """EPnP pose solve.
 
     obj_points: [n, 3] world; img_points_normalized: [n, 2] (K-removed);
-    weights: [n] (0 masks). Returns (R [3,3], t [3], ok).
+    weights: [n] (0 masks). fast=True swaps the Procrustes SVD for a
+    polar iteration (hypothesis-batch mode). Returns (R [3,3], t [3], ok).
     """
     obj = jnp.asarray(obj_points)
     uv = jnp.asarray(img_points_normalized, obj.dtype)
@@ -143,10 +164,9 @@ def epnp(obj_points, img_points_normalized, weights=None):
         return jnp.sum(di * dj, axis=-1)               # [6]
 
     def _lsq(L, b):
-        """Small least squares via normal equations (lstsq would SVD —
-        a slow TPU custom-call; these systems are ≤6×6 and well scaled)."""
-        LtL = L.T @ L + 1e-9 * jnp.eye(L.shape[1], dtype=L.dtype)
-        return jnp.linalg.solve(LtL, L.T @ b)
+        """Small least squares via normal equations + unrolled Cholesky
+        (lstsq/solve would be slow TPU custom-calls; systems are ≤6×6)."""
+        return lstsq_normal(L, b, damp=1e-9)
 
     def case_betas_2():
         # Unknowns [β1², β1β2, β2²]; 6×3 least squares.
@@ -174,7 +194,7 @@ def epnp(obj_points, img_points_normalized, weights=None):
         # Enforce positive depth: EPnP nullspace sign is arbitrary.
         depth_sign = jnp.sign(jnp.sum(cam[:, 2] * w) + 1e-18)
         cam = cam * depth_sign
-        R, t = _procrustes(obj, cam, w)
+        R, t = _procrustes(obj, cam, w, fast=fast)
         proj = obj @ R.T + t
         z = jnp.where(jnp.abs(proj[:, 2]) < 1e-12, 1e-12, proj[:, 2])
         uv_hat = proj[:, :2] / z[:, None]

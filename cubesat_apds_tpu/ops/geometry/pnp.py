@@ -92,7 +92,9 @@ def solve_pnp_ransac(corr: Correspondences, camera: CameraModel,
     _, samp = jax.lax.top_k(gumbel, config.sample_size)
 
     def solve_one(idx):
-        R, t, ok = epnp(obj[idx], uv_n[idx])
+        # fast=True: polar-iteration Procrustes — hypothesis batches are
+        # throwaway; the winner is refit below with the exact solver.
+        R, t, ok = epnp(obj[idx], uv_n[idx], fast=True)
         return R, t, ok
 
     Rs, ts, oks = jax.vmap(solve_one)(samp)            # [H,3,3],[H,3],[H]
