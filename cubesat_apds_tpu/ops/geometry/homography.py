@@ -105,10 +105,13 @@ def dlt_homography_solve(src, dst, weights=None):
     A = jnp.concatenate([r1, r2], axis=-2)               # [..., 2N, 8]
     b = jnp.concatenate([u, v], axis=-1)[..., None]      # [..., 2N, 1]
     w2 = jnp.concatenate([weights, weights], axis=-1)[..., None]
-    AtA = jnp.einsum("...ni,...nj->...ij", A * w2, A * w2)
-    Atb = jnp.einsum("...ni,...nj->...ij", A * w2, b * w2)
-    eye = jnp.eye(8, dtype=src.dtype) * 1e-8
-    h8 = jnp.linalg.solve(AtA + eye, Atb)[..., 0]
+    from cubesat_apds_tpu.ops.geometry.linalg_small import cholesky_solve
+
+    Aw = A * w2
+    bw = (b * w2)[..., 0]
+    AtA = jnp.einsum("...ni,...nj->...ij", Aw, Aw)
+    Atb = jnp.einsum("...ni,...n->...i", Aw, bw)
+    h8 = cholesky_solve(AtA, Atb, damp=1e-8)
     Hn = jnp.concatenate([h8, jnp.ones(h8.shape[:-1] + (1,), h8.dtype)],
                          axis=-1).reshape(h8.shape[:-1] + (3, 3))
     H = jnp.linalg.solve(Td, Hn @ Ts)

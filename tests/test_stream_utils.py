@@ -1,0 +1,137 @@
+"""Streaming pipeline + utils tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from cubesat_apds_tpu.core.config import (
+    AkazeConfig, MatchConfig, PipelineConfig, RansacConfig)
+from cubesat_apds_tpu.core.types import CameraModel
+from cubesat_apds_tpu.pipelines.localize import DeviceDb
+from cubesat_apds_tpu.pipelines.stream import StreamingLocalizer
+from cubesat_apds_tpu.utils.profiling import StageTimes, time_jitted
+from cubesat_apds_tpu.utils.progress import MultiProgress, ProgressBar
+from cubesat_apds_tpu.utils import viz
+
+
+CFG = PipelineConfig(
+    akaze=AkazeConfig(capacity=256),
+    match=MatchConfig(ratio=0.75),
+    ransac=RansacConfig(num_hypotheses=64),
+)
+
+
+def _frames(rng, n=4, size=128):
+    out = []
+    base = np.zeros((size, size), np.float32)
+    for _ in range(25):
+        cy, cx = rng.integers(5, size - 25, 2)
+        s = int(rng.integers(6, 18))
+        base[cy:cy + s, cx:cx + s] = rng.uniform(0.3, 1.0)
+    for i in range(n):
+        out.append(np.roll(base, i, axis=1))
+    return out
+
+
+def _db(rng, m=512):
+    return DeviceDb(
+        descriptors=jnp.asarray(rng.integers(0, 256, (m, 61),
+                                             dtype=np.uint8)),
+        xy=jnp.asarray(rng.uniform(0, 128, (m, 2)).astype(np.float32)),
+        valid=jnp.ones(m, bool),
+        obj_points=jnp.zeros((m, 3), jnp.float32),
+        has_world=False,
+    )
+
+
+def test_streaming_localizer_yields_all_frames(rng):
+    cam = CameraModel.ideal(100.0, 100.0, 64.0, 64.0)
+    s = StreamingLocalizer(_db(rng), cam, CFG, solve_pose=False)
+    results = list(s.run(_frames(rng, n=5)))
+    assert [r.frame_id for r in results] == [0, 1, 2, 3, 4]
+    for r in results:
+        assert r.num_keypoints > 0
+        assert r.latency_s > 0
+    summary = s.times.summary()
+    assert "device_wait" in summary and "host_preprocess" in summary
+
+
+def test_streaming_preprocess_hook(rng):
+    cam = CameraModel.ideal(100.0, 100.0, 64.0, 64.0)
+    s = StreamingLocalizer(_db(rng), cam, CFG, solve_pose=False)
+    calls = []
+
+    def pre(f):
+        calls.append(1)
+        return f * 0.5
+
+    results = list(s.run(_frames(rng, n=3), preprocess=pre))
+    assert len(results) == 3 and len(calls) == 3
+
+
+def test_stage_times_report():
+    t = StageTimes()
+    with t.measure("a"):
+        pass
+    t.add("b", 0.01)
+    rep = t.report()
+    assert "a" in rep and "b" in rep
+    assert t.summary()["b"]["mean_ms"] == 10.0
+
+
+def test_time_jitted():
+    import jax
+
+    f = jax.jit(lambda x: x * 2)
+    dt = time_jitted(f, jnp.ones(8), iters=3)
+    assert dt > 0
+
+
+def test_progress_bar(capsys):
+    import io
+
+    buf = io.StringIO()
+    bar = ProgressBar(10, "test", stream=buf)
+    for _ in range(10):
+        bar.inc()
+    out = buf.getvalue()
+    assert "10/10" in out
+
+
+def test_viz_draw_keypoints(rng, tmp_path):
+    img = rng.uniform(0, 1, (64, 64)).astype(np.float32)
+    xy = rng.uniform(5, 59, (10, 2))
+    out = viz.draw_keypoints(img, xy)
+    assert out.shape == (64, 64, 3)
+    viz.write_image(str(tmp_path / "kp.png"), out)
+    back = viz.read_image_gray(str(tmp_path / "kp.png"))
+    assert back.shape == (64, 64)
+
+
+def test_viz_draw_matches(rng):
+    img1 = rng.uniform(0, 1, (64, 64)).astype(np.float32)
+    img2 = rng.uniform(0, 1, (64, 80)).astype(np.float32)
+    kp1 = rng.uniform(5, 59, (6, 2))
+    kp2 = rng.uniform(5, 59, (6, 2))
+    out = viz.draw_matches(img1, kp1, img2, kp2,
+                           np.arange(6), np.arange(6))
+    assert out.shape == (64, 144, 3)
+
+
+def test_export_matches_end_to_end(rng, tmp_path):
+    from cubesat_apds_tpu.ops.features.akaze import detect_and_compute
+    from cubesat_apds_tpu.ops.match import knn_match
+
+    img = np.zeros((128, 128), np.float32)
+    for _ in range(15):
+        cy, cx = rng.integers(5, 100, 2)
+        s = int(rng.integers(8, 20))
+        img[cy:cy + s, cx:cx + s] = rng.uniform(0.4, 1.0)
+    f1 = detect_and_compute(jnp.asarray(img), CFG.akaze)
+    f2 = detect_and_compute(jnp.asarray(np.roll(img, 3, 1)), CFG.akaze)
+    m = knn_match(f1.descriptors, f2.descriptors, ratio=0.8,
+                  q_valid=f1.keypoints.valid, db_valid=f2.keypoints.valid)
+    path = str(tmp_path / "matches.png")
+    viz.export_matches(img, f1, np.roll(img, 3, 1), f2, m, path)
+    import os
+
+    assert os.path.exists(path)
