@@ -47,7 +47,12 @@ def _cmd_preprocess(args):
         ds, config=PipelineConfig(), amount_lod=args.lod or None,
         tile_batch=args.tile_batch, elevation_path=args.elevation_path,
         progress=print)
-    store.save(args.store)
+    if args.binary:
+        from cubesat_apds_tpu.store.binary_store import write_binary_store
+
+        write_binary_store(store, args.store)
+    else:
+        store.save(args.store)
     print(f"store saved -> {args.store}: {stats.keypoints} keypoints, "
           f"{stats.tiles} tiles, {stats.lods} LoDs "
           f"({time.perf_counter() - t0:.1f}s)")
@@ -63,7 +68,14 @@ def _cmd_localize(args):
     from cubesat_apds_tpu.pipelines.localize import localize_frame
     from cubesat_apds_tpu.store.feature_store import FeatureStore
 
-    store = FeatureStore.load(args.store)
+    import os
+
+    if os.path.exists(os.path.join(args.store, "order.npy")):
+        from cubesat_apds_tpu.store.binary_store import BinaryFeatureStore
+
+        store = BinaryFeatureStore(args.store)
+    else:
+        store = FeatureStore.load(args.store)
     with Image.open(args.frame) as im:
         frame = np.asarray(im.convert("F"), np.float32) / 255.0
     if args.camera:
@@ -143,6 +155,8 @@ def main(argv=None):
                     help="LoD levels (0 = auto, like --calculate-lod)")
     pp.add_argument("--calculate-lod", action="store_true")
     pp.add_argument("--tile-batch", type=int, default=8)
+    pp.add_argument("--binary", action="store_true",
+                    help="write the mmap binary store (native queries)")
     pp.add_argument("-e", "--elevation-path")
     pp.set_defaults(fn=_cmd_preprocess)
 

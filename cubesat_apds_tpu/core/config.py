@@ -56,6 +56,12 @@ class AkazeConfig:
     kcontrast_percentile: float = 0.7
     kcontrast_nbins: int = 300
     fed_tau_max: float = 0.25
+    # Keypoint sampling backend for orientation + MLDB: "gather" is the
+    # direct point-gather (fastest measured on v5e — TPU gathers are
+    # per-index-latency-bound but the one-hot alternative pays more in
+    # patch materialization); "onehot" routes through patch extraction +
+    # MXU one-hot contractions. Identical results (equivalence-tested).
+    sampler: str = "gather"
 
     @property
     def num_levels(self) -> int:

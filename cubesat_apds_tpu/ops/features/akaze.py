@@ -75,16 +75,32 @@ def detect_and_compute(img, config: AkazeConfig = AkazeConfig(),
     level_hw = jnp.asarray(
         [[a.shape[0], a.shape[1]] for a in ss.Lt], jnp.int32)
 
+    sample_fn = None
+    if config.sampler == "onehot":
+        from cubesat_apds_tpu.ops.features.sampling import (
+            extract_patches, sample_patches)
+
+        lvl = jnp.clip(kps.class_id, 0, packed.shape[0] - 1)
+        ratio = jnp.exp2(kps.octave.astype(jnp.float32))
+        cx = jnp.floor(kps.xy[:, 0] / ratio + 0.5).astype(jnp.int32)
+        cy = jnp.floor(kps.xy[:, 1] / ratio + 0.5).astype(jnp.int32)
+        patches, col0, row0 = extract_patches(packed, level_hw, lvl, cx, cy)
+
+        def sample_fn(iy, ix):
+            return sample_patches(patches, iy, ix, row0, col0,
+                                  level_hw, lvl)
+
     angle = compute_orientations(
         packed, level_hw, kps.xy, kps.size, kps.class_id,
-        kps.octave, kps.valid)
+        kps.octave, kps.valid, sample_fn=sample_fn)
     kps = Keypoints(
         xy=kps.xy, size=kps.size, angle=angle, response=kps.response,
         octave=kps.octave, class_id=kps.class_id, valid=kps.valid)
 
     desc = mldb_descriptors(
         packed, level_hw,
-        kps.xy, kps.size, kps.angle, kps.class_id, kps.octave, kps.valid)
+        kps.xy, kps.size, kps.angle, kps.class_id, kps.octave, kps.valid,
+        sample_fn=sample_fn)
     return Features(keypoints=kps, descriptors=desc)
 
 

@@ -71,38 +71,43 @@ def _fround(x):
     return jnp.floor(x + 0.5).astype(jnp.int32)
 
 
-def mldb_descriptors(packed_stack, level_hw,
-                     xy, size, angle, class_id, octave, valid):
-    """Packed MLDB descriptors [K, 61] uint8 for all keypoints at once.
-
-    packed_stack: [L, H, W, C≥3] per-level stack, channels (Lt, Lx, Ly,
-    ...) — Lt the diffused image, Lx/Ly the σ-scaled detection
-    derivatives. One vectorized gather fetches all three channels.
-    """
-    K = xy.shape[0]
-    lvl = jnp.clip(class_id, 0, packed_stack.shape[0] - 1)
+def mldb_sample_coords(xy, size, angle, class_id, octave):
+    """Rotated integer sample coordinates (iy, ix) [K, 441] of the MLDB
+    pattern, in level coordinates (pre-clip)."""
     ratio = jnp.exp2(octave.astype(jnp.float32))
     s = _fround(0.5 * size / ratio).astype(jnp.float32)      # scale [K]
     xf = xy[:, 0] / ratio
     yf = xy[:, 1] / ratio
     co = jnp.cos(angle)
     si = jnp.sin(angle)
-
     offs = jnp.asarray(_OFFSETS, jnp.float32)                # [S, 2] (k, l)
     k_off = offs[:, 0][None, :]                              # [1, S]
     l_off = offs[:, 1][None, :]
     sample_x = xf[:, None] + s[:, None] * (k_off * co[:, None] - l_off * si[:, None])
     sample_y = yf[:, None] + s[:, None] * (k_off * si[:, None] + l_off * co[:, None])
-    ix = _fround(sample_x)                                   # [K, S]
-    iy = _fround(sample_y)
+    return _fround(sample_y), _fround(sample_x)
 
-    hs = level_hw[lvl, 0][:, None]
-    ws = level_hw[lvl, 1][:, None]
-    ix_c = jnp.clip(ix, 0, ws - 1)
-    iy_c = jnp.clip(iy, 0, hs - 1)
-    lvl_b = jnp.broadcast_to(lvl[:, None], ix.shape)
 
-    vals = packed_stack[lvl_b, iy_c, ix_c].astype(jnp.float32)  # [K, S, C]
+def mldb_descriptors(packed_stack, level_hw,
+                     xy, size, angle, class_id, octave, valid,
+                     sample_fn=None):
+    """Packed MLDB descriptors [K, 61] uint8 for all keypoints at once.
+
+    packed_stack: [L, H, W, C≥3] per-level stack, channels (Lt, Lx, Ly,
+    ...) — Lt the diffused image, Lx/Ly the σ-scaled detection
+    derivatives. sample_fn overrides the sampling backend (one-hot patch
+    sampler; defaults to direct gather).
+    """
+    from cubesat_apds_tpu.ops.features.orientation import gather_sampler
+
+    K = xy.shape[0]
+    lvl = jnp.clip(class_id, 0, packed_stack.shape[0] - 1)
+    co = jnp.cos(angle)
+    si = jnp.sin(angle)
+    iy, ix = mldb_sample_coords(xy, size, angle, class_id, octave)
+    if sample_fn is None:
+        sample_fn = gather_sampler(packed_stack, level_hw, lvl)
+    vals = sample_fn(iy, ix)                                 # [K, S, C]
     di = vals[..., 0]
     rx = vals[..., 1]
     ry = vals[..., 2]

@@ -30,33 +30,49 @@ def _fround(x):
     return jnp.floor(x + 0.5).astype(jnp.int32)
 
 
-def compute_orientations(packed_stack, level_hw, xy, size, class_id,
-                         octave, valid):
-    """Dominant orientation per keypoint.
-
-    packed_stack: [L, H, W, C≥3] per-level stack with channels
-    (Lt, Lx, Ly, ...) — one vectorized gather fetches both derivatives.
-    level_hw: [L, 2] int32 actual (h, w) of each level.
-    xy [K, 2] original-image coords; size [K]; class_id [K] level index;
-    octave [K]. Returns angle [K] in [0, 2π).
-    """
-    lvl = jnp.clip(class_id, 0, packed_stack.shape[0] - 1)
+def orientation_sample_coords(xy, size, class_id, octave):
+    """Integer sample coordinates (iy, ix) [K, 109] of the orientation
+    disc, in level coordinates (pre-clip)."""
     ratio = jnp.exp2(octave.astype(jnp.float32))
     s = _fround(0.5 * size / ratio).astype(jnp.float32)       # [K]
     xf = xy[:, 0] / ratio
     yf = xy[:, 1] / ratio
-
     disc = jnp.asarray(_DISC, jnp.float32)                    # [109, 2]
     ix = _fround(xf[:, None] + disc[None, :, 0] * s[:, None])  # [K, 109]
     iy = _fround(yf[:, None] + disc[None, :, 1] * s[:, None])
+    return iy, ix
 
-    hs = level_hw[lvl, 0][:, None]
-    ws = level_hw[lvl, 1][:, None]
-    ix_c = jnp.clip(ix, 0, ws - 1)
-    iy_c = jnp.clip(iy, 0, hs - 1)
-    lvl_b = jnp.broadcast_to(lvl[:, None], ix.shape)
 
-    vals = packed_stack[lvl_b, iy_c, ix_c].astype(jnp.float32)  # [K, 109, C]
+def gather_sampler(packed_stack, level_hw, lvl):
+    """Direct point-gather sampler: (iy, ix) [K, S] → [K, S, C] f32."""
+
+    def sample(iy, ix):
+        hs = level_hw[lvl, 0][:, None]
+        ws = level_hw[lvl, 1][:, None]
+        ix_c = jnp.clip(ix, 0, ws - 1)
+        iy_c = jnp.clip(iy, 0, hs - 1)
+        lvl_b = jnp.broadcast_to(lvl[:, None], ix.shape)
+        return packed_stack[lvl_b, iy_c, ix_c].astype(jnp.float32)
+
+    return sample
+
+
+def compute_orientations(packed_stack, level_hw, xy, size, class_id,
+                         octave, valid, sample_fn=None):
+    """Dominant orientation per keypoint.
+
+    packed_stack: [L, H, W, C≥3] per-level stack with channels
+    (Lt, Lx, Ly, ...). level_hw: [L, 2] int32 actual (h, w) per level.
+    xy [K, 2] original-image coords; size [K]; class_id [K] level index;
+    octave [K]. sample_fn overrides the sampling backend (one-hot patch
+    sampler from akaze.py; defaults to direct gather).
+    Returns angle [K] in [0, 2π).
+    """
+    lvl = jnp.clip(class_id, 0, packed_stack.shape[0] - 1)
+    iy, ix = orientation_sample_coords(xy, size, class_id, octave)
+    if sample_fn is None:
+        sample_fn = gather_sampler(packed_stack, level_hw, lvl)
+    vals = sample_fn(iy, ix)                                  # [K, 109, C]
     res_x = vals[..., 1] * jnp.asarray(_GAUSS_W)[None, :]
     res_y = vals[..., 2] * jnp.asarray(_GAUSS_W)[None, :]
 

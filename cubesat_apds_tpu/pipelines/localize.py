@@ -48,10 +48,14 @@ class DeviceDb:
                                         default=False)
 
 
-def load_device_db(store: FeatureStore, lod: int = 0,
+def load_device_db(store, lod: int = 0,
                    pad_multiple: int = 2048) -> DeviceDb:
     """Export one LoD of the store to device arrays, with ECEF world
-    coordinates precomputed when elevation data is present."""
+    coordinates precomputed when elevation data is present.
+
+    Accepts either store backend (FeatureStore or BinaryFeatureStore) —
+    both expose export_device_block / get_world_coordinates.
+    """
     desc, xy, valid, _img = store.export_device_block(lod, pad_multiple)
     has_world = store._elevation is not None and 1 in store._geotransforms
     if has_world:

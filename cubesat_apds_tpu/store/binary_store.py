@@ -171,6 +171,26 @@ class BinaryFeatureStore:
             desc = np.asarray(self.desc)[idx]
         return cols, desc
 
+    # ---- geo (parity with FeatureStore) ---------------------------------
+
+    @property
+    def _geotransforms(self):
+        return self.geotransforms
+
+    def get_world_coordinates(self, dataset_id: int, px, py) -> np.ndarray:
+        """pixel → ECEF (elevationdb.rs:64-104 semantics), vectorized."""
+        from cubesat_apds_tpu.core import geodesy as G
+
+        gt = self.geotransforms[dataset_id]
+        wx, wy = G.geotransform_apply(gt, np.asarray(px, np.float64),
+                                      np.asarray(py, np.float64))
+        ex, ey = G.world_to_pixel(self._elevation_gt, wx, wy)
+        h, w = self._elevation.shape
+        exi = np.clip(np.asarray(np.floor(ex), np.int64), 0, w - 1)
+        eyi = np.clip(np.asarray(np.floor(ey), np.int64), 0, h - 1)
+        height = np.asarray(self._elevation)[eyi, exi]
+        return np.asarray(G.geodetic_to_ecef(wx, wy, height))
+
     # ---- device export --------------------------------------------------
 
     def export_device_block(self, lod: Optional[int] = None,

@@ -1,0 +1,97 @@
+"""CLI end-to-end tests (the clap-binary surface, preprocessor
+main.rs:22-66 + calibrator main.rs:12-25 + the new localize command)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cubesat_apds_tpu.cli import main
+from cubesat_apds_tpu.io.tiff import write_geotiff
+
+
+@pytest.fixture
+def scene(tmp_path, rng):
+    img = np.zeros((128, 128), np.float32)
+    for _ in range(25):
+        cy, cx = rng.integers(5, 100, 2)
+        s = int(rng.integers(8, 20))
+        img[cy:cy + s, cx:cx + s] = rng.uniform(0.3, 1.0)
+    rgb8 = (np.stack([img] * 3, -1) * 255).astype(np.uint8)
+    d = tmp_path / "tiles"
+    d.mkdir()
+    write_geotiff(str(d / "t.tif"), rgb8, [10.0, 0.001, 0, 56.0, 0, -0.001])
+    return tmp_path, d, img
+
+
+def test_cli_preprocess_and_localize(scene, capsys):
+    tmp_path, tiles, img = scene
+    store_dir = str(tmp_path / "store")
+    rc = main(["preprocess", "--dataset", str(tiles), "--store", store_dir,
+               "--lod", "1"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(store_dir, "manifest.json"))
+
+    from PIL import Image
+
+    frame_path = str(tmp_path / "frame.png")
+    Image.fromarray((img * 255).astype(np.uint8)).save(frame_path)
+    rc = main(["localize", "--store", store_dir, "--frame", frame_path])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    out = json.loads(captured[captured.index("{"):])
+    assert out["keypoints"] > 0
+
+
+def test_cli_preprocess_binary_and_localize(scene, capsys):
+    tmp_path, tiles, img = scene
+    store_dir = str(tmp_path / "bstore")
+    rc = main(["preprocess", "--dataset", str(tiles), "--store", store_dir,
+               "--lod", "1", "--binary"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(store_dir, "order.npy"))
+
+    from PIL import Image
+
+    frame_path = str(tmp_path / "frame.png")
+    Image.fromarray((img * 255).astype(np.uint8)).save(frame_path)
+    rc = main(["localize", "--store", store_dir, "--frame", frame_path])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    start = captured.index("{")
+    out = json.loads(captured[start:])
+    assert out["matches"] >= 0 and "homography" in out
+
+
+def test_cli_calculate_lod(scene, capsys):
+    tmp_path, tiles, _ = scene
+    rc = main(["preprocess", "--dataset", str(tiles),
+               "--store", str(tmp_path / "s"), "--calculate-lod"])
+    assert rc == 0
+    assert "LoD levels" in capsys.readouterr().out
+
+
+def test_cli_calibrate(tmp_path, capsys):
+    from PIL import Image
+
+    nx, ny, cell = 7, 6, 24
+    img = np.full((240, 320), 0.9, np.float32)
+    for r in range(ny + 1):
+        for c in range(nx + 1):
+            shade = 0.1 if (r + c) % 2 == 0 else 0.9
+            img[6 + r * cell:6 + (r + 1) * cell,
+                16 + c * cell:16 + (c + 1) * cell] = shade
+    d = tmp_path / "boards"
+    d.mkdir()
+    for i in range(10):
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            str(d / f"b{i}.png"))
+    out_json = str(tmp_path / "cam.json")
+    rc = main(["calibrate", str(d), "7x6", "-o", out_json])
+    assert rc == 0
+    cap = capsys.readouterr().out
+    assert "Camera matrix" in cap and "RMS" in cap
+    with open(out_json) as f:
+        cam = json.load(f)
+    assert len(cam["K"]) == 3
