@@ -226,7 +226,9 @@ def build_scale_space(img, config: AkazeConfig = AkazeConfig()) -> ScaleSpace:
         g = pm_g2(lx, ly, kcontrast)
         taus = fed_tau_by_process_time(
             meta[i].etime - meta[i - 1].etime, config.fed_tau_max)
-        Lt = fed_cycle(Lt, g, taus)
+        from cubesat_apds_tpu.ops.pallas.diffusion import fed_cycle_fused
+
+        Lt = fed_cycle_fused(Lt, g, taus)
         Lt_list.append(Lt)
         Ls_list.append(Lsmooth)
 
