@@ -183,6 +183,50 @@ class MosaicDataset:
         else:
             self.elevation = read_geotiff(path_or_raster)
 
+    # ---- nodata utilities ------------------------------------------------
+    # The reference declares but never implements these
+    # (todo!() stubs at geotiff mod.rs:271-277; SURVEY.md flags them).
+
+    def detect_nodata(self, band: int = 1,
+                      border_fraction_threshold: float = 0.5):
+        """Detect a nodata value: the most common value on the raster
+        border if it covers more than `border_fraction_threshold` of it.
+        Returns the value (float) or None."""
+        full = self.read_window(0, 0, self.width, self.height, (band,))[0]
+        border = np.concatenate([
+            full[0, :], full[-1, :], full[:, 0], full[:, -1]])
+        finite = border[np.isfinite(border)]
+        if len(finite) < len(border) * (1.0 - border_fraction_threshold):
+            return float("nan")  # dominant border value is already NaN
+        if len(finite) == 0:
+            return float("nan")
+        vals, counts = np.unique(finite, return_counts=True)
+        top = counts.argmax()
+        if counts[top] >= border_fraction_threshold * len(border):
+            return float(vals[top])
+        return None
+
+    @staticmethod
+    def fill_nodata(band: np.ndarray, iterations: int = 16) -> np.ndarray:
+        """Fill NaN pixels by iterative 3×3 valid-neighbour averaging
+        (inward diffusion from the valid boundary)."""
+        out = np.array(band, np.float32, copy=True)
+        for _ in range(iterations):
+            nan_mask = np.isnan(out)
+            if not nan_mask.any():
+                break
+            filled = np.where(nan_mask, 0.0, out)
+            valid = (~nan_mask).astype(np.float32)
+            ksum = np.zeros_like(filled)
+            kcnt = np.zeros_like(valid)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ksum += np.roll(np.roll(filled, dy, 0), dx, 1)
+                    kcnt += np.roll(np.roll(valid, dy, 0), dx, 1)
+            grow = nan_mask & (kcnt > 0)
+            out[grow] = (ksum / np.maximum(kcnt, 1))[grow]
+        return out
+
     # ---- materialization (COG equivalent, mod.rs:141-164) --------------
 
     def materialize(self, path: str):

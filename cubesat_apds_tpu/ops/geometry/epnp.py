@@ -39,8 +39,12 @@ def _control_points(obj, w):
     centered = (obj - c0) * w[:, None]
     cov = centered.T @ centered / wsum
     eigval, eigvec = jnp.linalg.eigh(cov)
-    # Scale axes by sqrt of eigenvalues (guard degenerate/planar sets).
-    scale = jnp.sqrt(jnp.maximum(eigval, 1e-9))
+    # Scale axes by sqrt of eigenvalues, FLOORED RELATIVE to the largest:
+    # planar point sets (the satellite ground-patch case) would otherwise
+    # collapse a control point onto the plane and make the barycentric
+    # system singular (NaN poses in f32).
+    eig_max = jnp.maximum(eigval[-1], 1e-12)
+    scale = jnp.sqrt(jnp.maximum(eigval, 1e-4 * eig_max))
     cpts = c0[None, :] + eigvec.T * scale[:, None]
     return jnp.concatenate([c0[None, :], cpts], axis=0)  # [4, 3]
 
@@ -52,7 +56,11 @@ def _barycentric(obj, cw):
     A = jnp.concatenate([cw.T, jnp.ones((1, 4), cw.dtype)], axis=0)   # [4,4]
     b = jnp.concatenate([obj.T, jnp.ones((1, obj.shape[0]), obj.dtype)], axis=0)
     AtA = A.T @ A
-    alpha = cholesky_solve(AtA, A.T @ b, damp=1e-12)                   # [4, n]
+    # Damping relative to the matrix scale keeps α bounded for
+    # ill-conditioned (near-planar) control points in f32.
+    damp = 1e-9 * (AtA[0, 0] + AtA[1, 1] + AtA[2, 2] + AtA[3, 3])
+    alpha = cholesky_solve(AtA + damp * jnp.eye(4, dtype=AtA.dtype),
+                           A.T @ b)                                    # [4, n]
     return alpha.T                                                     # [n, 4]
 
 

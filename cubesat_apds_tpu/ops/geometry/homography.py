@@ -147,11 +147,15 @@ def find_homography_ransac(src, dst, valid=None, config: RansacConfig = RansacCo
     num_valid = jnp.sum(valid.astype(jnp.int32))
     vf = valid.astype(jnp.float32)
 
-    # --- Hypothesis sampling: [H, 4] indices drawn from valid entries. ---
-    # Gumbel-top-k over the valid mask gives 4 distinct indices per draw.
-    gumbel = jax.random.gumbel(key, (config.num_hypotheses, n))
-    gumbel = jnp.where(valid[None, :], gumbel, -jnp.inf)
-    _, sample_idx = jax.lax.top_k(gumbel, 4)           # [H, 4]
+    # --- Hypothesis sampling: [H, 4] indices drawn from valid entries.
+    # Compact valid indices once, then draw uniform ints — avoids the
+    # [H, N] gumbel materialization + per-row sort. Duplicate indices in
+    # a draw yield a rank-deficient DLT whose hypothesis scores ~0 and
+    # loses, the standard RANSAC treatment.
+    valid_first = jnp.argsort(~valid).astype(jnp.int32)   # valid prefix
+    r = jax.random.randint(key, (config.num_hypotheses, 4), 0,
+                           jnp.maximum(num_valid, 1))
+    sample_idx = valid_first[r]                            # [H, 4]
 
     s4 = src[sample_idx]                               # [H, 4, 2]
     d4 = dst[sample_idx]

@@ -22,6 +22,7 @@ from cubesat_apds_tpu.core.config import PnPConfig
 from cubesat_apds_tpu.core.types import CameraModel, Correspondences, PoseSolution
 from cubesat_apds_tpu.core.camera import pixels_to_normalized
 from cubesat_apds_tpu.ops.geometry.epnp import epnp
+from cubesat_apds_tpu.ops.geometry.planar import planar_pose
 from cubesat_apds_tpu.ops.geometry.rodrigues import (
     matrix_to_rodrigues,
     rodrigues_to_matrix,
@@ -86,18 +87,27 @@ def solve_pnp_ransac(corr: Correspondences, camera: CameraModel,
     f_avg = 0.5 * (camera.K[0, 0] + camera.K[1, 1])
     thr2 = (config.reproj_threshold / f_avg) ** 2
 
-    # --- Hypotheses: [H, S] index samples from the valid set. ---
-    gumbel = jax.random.gumbel(key, (config.num_hypotheses, n))
-    gumbel = jnp.where(valid[None, :], gumbel, -jnp.inf)
-    _, samp = jax.lax.top_k(gumbel, config.sample_size)
+    # --- Hypotheses: [H, S] index samples from the valid set (compact +
+    # uniform ints; duplicates degrade that hypothesis only). ---
+    valid_first = jnp.argsort(~valid).astype(jnp.int32)
+    r = jax.random.randint(key, (config.num_hypotheses, config.sample_size),
+                           0, jnp.maximum(num_valid, 1))
+    samp = valid_first[r]
 
     def solve_one(idx):
         # fast=True: polar-iteration Procrustes — hypothesis batches are
         # throwaway; the winner is refit below with the exact solver.
         R, t, ok = epnp(obj[idx], uv_n[idx], fast=True)
-        return R, t, ok
+        # Planar alternative: EPnP degrades on coplanar subsets (the
+        # nominal flat-ground satellite case); both hypotheses compete
+        # in the common reprojection scoring below.
+        Rp, tp, okp = planar_pose(obj[idx], uv_n[idx])
+        return jnp.stack([R, Rp]), jnp.stack([t, tp]), jnp.stack([ok, okp])
 
-    Rs, ts, oks = jax.vmap(solve_one)(samp)            # [H,3,3],[H,3],[H]
+    Rs, ts, oks = jax.vmap(solve_one)(samp)            # [H,2,3,3],…
+    Rs = Rs.reshape(-1, 3, 3)
+    ts = ts.reshape(-1, 3)
+    oks = oks.reshape(-1)
 
     err = _reproj_err_normalized(Rs, ts, obj, uv_n)    # [H, N]
     inl = (err < thr2) & valid[None, :]
@@ -106,14 +116,19 @@ def solve_pnp_ransac(corr: Correspondences, camera: CameraModel,
     R_best, t_best = Rs[best], ts[best]
     inliers = inl[best]
 
-    # --- Refit EPnP on the full inlier set, then Gauss-Newton polish. ---
+    # --- Refit on the full inlier set (EPnP exact + planar compete),
+    # then Gauss-Newton polish. ---
     w_inl = inliers.astype(jnp.float32)
-    R_fit, t_fit, fit_ok = epnp(obj, uv_n, w_inl)
-    use_fit = fit_ok & (jnp.sum(
-        (_reproj_err_normalized(R_fit, t_fit, obj, uv_n) < thr2) & valid)
-        >= jnp.sum(inliers))
-    R_best = jnp.where(use_fit, R_fit, R_best)
-    t_best = jnp.where(use_fit, t_fit, t_best)
+    n_best = jnp.sum(inliers)
+    for refit in (lambda: epnp(obj, uv_n, w_inl),
+                  lambda: planar_pose(obj, uv_n, w_inl)):
+        R_fit, t_fit, fit_ok = refit()
+        n_fit = jnp.sum(
+            (_reproj_err_normalized(R_fit, t_fit, obj, uv_n) < thr2) & valid)
+        use_fit = fit_ok & (n_fit >= n_best)
+        R_best = jnp.where(use_fit, R_fit, R_best)
+        t_best = jnp.where(use_fit, t_fit, t_best)
+        n_best = jnp.where(use_fit, n_fit, n_best)
 
     rvec = matrix_to_rodrigues(R_best)
     rvec, tvec = _gn_refine_pose(rvec, t_best, obj, uv_n, w_inl,
@@ -131,12 +146,22 @@ def solve_pnp_ransac(corr: Correspondences, camera: CameraModel,
 
 def solve_pnp(corr: Correspondences, camera: CameraModel,
               refine_iters: int = 10) -> PoseSolution:
-    """Non-robust PnP (all valid points assumed inliers): EPnP + GN."""
+    """Non-robust PnP (all valid points assumed inliers): best of EPnP
+    and the planar solver, polished with Gauss-Newton."""
     obj = jnp.asarray(corr.obj_points, jnp.float32)
     pix = jnp.asarray(corr.img_points, jnp.float32)
     uv_n = pixels_to_normalized(pix, camera)
     w = corr.valid.astype(jnp.float32)
     R, t, ok = epnp(obj, uv_n, w)
+    Rp, tp, okp = planar_pose(obj, uv_n, w)
+    err_e = jnp.sum(jnp.where(jnp.isfinite(_reproj_err_normalized(R, t, obj, uv_n)),
+                              _reproj_err_normalized(R, t, obj, uv_n), 1e12) * w)
+    err_p = jnp.sum(jnp.where(jnp.isfinite(_reproj_err_normalized(Rp, tp, obj, uv_n)),
+                              _reproj_err_normalized(Rp, tp, obj, uv_n), 1e12) * w)
+    use_p = okp & ((~ok) | (err_p < err_e))
+    R = jnp.where(use_p, Rp, R)
+    t = jnp.where(use_p, tp, t)
+    ok = ok | okp
     rvec = matrix_to_rodrigues(R)
     rvec, tvec = _gn_refine_pose(rvec, t, obj, uv_n, w, refine_iters)
     num_valid = jnp.sum(corr.valid.astype(jnp.int32))

@@ -107,3 +107,22 @@ def test_world_coordinates_with_elevation(tmp_path, rng):
     assert wx == pytest.approx(10.32)
     assert wy == pytest.approx(55.68)
     assert h == 147.0
+
+
+def test_detect_nodata(tmp_path, rng):
+    data = rng.integers(1, 255, (32, 32, 3), dtype=np.uint8)
+    data[:4, :, :] = 0
+    data[:, :4, :] = 0
+    data[-4:, :, :] = 0
+    data[:, -4:, :] = 0
+    write_geotiff(str(tmp_path / "n.tif"), data, [0, 1, 0, 0, 0, -1])
+    ds = MosaicDataset.from_folder(str(tmp_path))
+    assert ds.detect_nodata(band=1) == 0.0
+
+
+def test_fill_nodata():
+    band = np.full((16, 16), 5.0, np.float32)
+    band[6:10, 6:10] = np.nan
+    filled = MosaicDataset.fill_nodata(band)
+    assert not np.isnan(filled).any()
+    np.testing.assert_allclose(filled, 5.0, atol=1e-5)
