@@ -76,7 +76,22 @@ def detect_and_compute(img, config: AkazeConfig = AkazeConfig(),
         [[a.shape[0], a.shape[1]] for a in ss.Lt], jnp.int32)
 
     sample_fn = None
-    if config.sampler == "onehot":
+    sampler = config.sampler
+    if sampler == "pallas":
+        from cubesat_apds_tpu.ops.pallas.sample_kernel import (
+            pallas_sampler, pallas_sampler_supported)
+
+        level_hw_static = [[a.shape[0], a.shape[1]] for a in ss.Lt]
+        if pallas_sampler_supported(level_hw_static) and \
+                jax.default_backend() == "tpu":
+            lvl = jnp.clip(kps.class_id, 0, packed.shape[0] - 1)
+            ratio = jnp.exp2(kps.octave.astype(jnp.float32))
+            cx = jnp.floor(kps.xy[:, 0] / ratio + 0.5).astype(jnp.int32)
+            cy = jnp.floor(kps.xy[:, 1] / ratio + 0.5).astype(jnp.int32)
+            sample_fn = pallas_sampler(packed, level_hw, lvl, cx, cy)
+        else:
+            sampler = "gather"
+    if sampler == "onehot":
         from cubesat_apds_tpu.ops.features.sampling import (
             extract_patches, sample_patches)
 

@@ -127,14 +127,19 @@ def symmetric_transfer_error(H, src, dst):
     return jnp.sum((proj - dst) ** 2, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
+@functools.partial(jax.jit, static_argnames=("config", "method"))
 def find_homography_ransac(src, dst, valid=None, config: RansacConfig = RansacConfig(),
-                           key=None) -> HomographyResult:
-    """RANSAC homography from fixed-capacity correspondences.
+                           key=None, method: str = "ransac") -> HomographyResult:
+    """Robust homography from fixed-capacity correspondences.
 
     src, dst: [N, 2]; valid: [N] bool mask. Returns HomographyResult whose
     inlier mask matches find_homography_mat's RANSAC mask semantics
     (reference: homographier mod.rs:243-256).
+
+    method: "ransac" (inlier-count scoring) or "lmeds" (least-median-of-
+    squares scoring; inliers from a robust 2.5·MAD-style gate) — the two
+    mask-returning HomographyMethod variants of the reference
+    (mod.rs:25-31, 252-256). Hypothesis generation is shared.
     """
     src = jnp.asarray(src, jnp.float32)
     dst = jnp.asarray(dst, jnp.float32)
@@ -163,14 +168,25 @@ def find_homography_ransac(src, dst, valid=None, config: RansacConfig = RansacCo
 
     # --- Score all hypotheses against all points. ---
     err = symmetric_transfer_error(Hs, src[None], dst[None])  # [H, N]
-    thr2 = config.reproj_threshold**2
-    inl = (err < thr2) & valid[None, :]
-    # Degenerate H (non-finite) scores zero.
     finite = jnp.all(jnp.isfinite(Hs.reshape(Hs.shape[0], -1)), axis=-1)
-    scores = jnp.where(finite, jnp.sum(inl, axis=-1), -1)
-    best = jnp.argmax(scores)
-    H_best = Hs[best]
-    inliers = inl[best]
+    if method == "lmeds":
+        # Median squared error over valid points; inlier gate from the
+        # robust scale estimate (OpenCV LMeDS: 2.5·σ, σ = 1.4826·√med).
+        big = jnp.float32(1e30)
+        err_v = jnp.where(valid[None, :] & jnp.isfinite(err), err, jnp.nan)
+        med = jnp.nanquantile(err_v, 0.5, axis=-1, method="nearest")
+        med = jnp.where(jnp.isfinite(med), med, big)
+        best = jnp.argmin(jnp.where(finite, med, big))
+        thr2 = (2.5 * 1.4826) ** 2 * jnp.maximum(med[best], 1e-12)
+        inliers = (err[best] < thr2) & valid
+        H_best = Hs[best]
+    else:
+        thr2 = config.reproj_threshold**2
+        inl = (err < thr2) & valid[None, :]
+        scores = jnp.where(finite, jnp.sum(inl, axis=-1), -1)
+        best = jnp.argmax(scores)
+        H_best = Hs[best]
+        inliers = inl[best]
 
     # --- Refinement: masked DLT on the inlier set, re-derive inliers. ---
     def refine(_, carry):

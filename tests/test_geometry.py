@@ -118,3 +118,24 @@ def test_warp_border_constant():
     out = np.asarray(warp_perspective(img, H))
     assert (out[:, :6] == 0).all()  # shifted-in region is fill 0
     assert (out[:, 6:] == 1).all()
+
+
+def test_lmeds_homography(rng):
+    """LMEDS method (HomographyMethod::LMEDS, mod.rs:25-31): no threshold
+    needed, robust to <50% outliers."""
+    H_true = np.array([[1.1, 0.02, 10.0], [0.03, 0.95, -5.0], [0, 0, 1.0]])
+    src_in = rng.uniform(0, 400, (80, 2))
+    dst_in = np.asarray(apply_homography(jnp.asarray(H_true),
+                                         jnp.asarray(src_in)))
+    dst_in = dst_in + rng.normal(0, 0.3, dst_in.shape)
+    src_out = rng.uniform(0, 400, (30, 2))
+    dst_out = rng.uniform(0, 400, (30, 2))
+    src = jnp.asarray(np.concatenate([src_in, src_out]), jnp.float32)
+    dst = jnp.asarray(np.concatenate([dst_in, dst_out]), jnp.float32)
+    res = find_homography_ransac(src, dst, method="lmeds")
+    assert bool(res.ok)
+    inl = np.asarray(res.inliers)
+    assert inl[:80].sum() >= 75
+    assert inl[80:].sum() <= 3
+    np.testing.assert_allclose(np.asarray(res.H), H_true, rtol=0.05,
+                               atol=0.5)
