@@ -56,6 +56,13 @@ class AkazeConfig:
     kcontrast_percentile: float = 0.7
     kcontrast_nbins: int = 300
     fed_tau_max: float = 0.25
+    # MLDB descriptor mode: "exact" reproduces the reference's cell
+    # means over every integer sample of the rotated pattern (441
+    # nearest-neighbour samples/keypoint — the TPU gather wall, see
+    # PERF.md); "fast" samples each cell ONCE from a blur-matched
+    # pyramid (29 samples/keypoint, ~2× end-to-end throughput) — an
+    # anti-aliased approximation of the same descriptor.
+    descriptor_mode: str = "exact"
     # Keypoint sampling backend for orientation + MLDB: "gather" is the
     # direct point-gather (fastest measured on v5e — TPU gathers are
     # per-index-latency-bound but the one-hot alternative pays more in

@@ -112,10 +112,30 @@ def detect_and_compute(img, config: AkazeConfig = AkazeConfig(),
         xy=kps.xy, size=kps.size, angle=angle, response=kps.response,
         octave=kps.octave, class_id=kps.class_id, valid=kps.valid)
 
-    desc = mldb_descriptors(
-        packed, level_hw,
-        kps.xy, kps.size, kps.angle, kps.class_id, kps.octave, kps.valid,
-        sample_fn=sample_fn)
+    if config.descriptor_mode == "fast":
+        from cubesat_apds_tpu.ops.features.mldb import (
+            fast_blur_sigmas, mldb_descriptors_fast)
+        from cubesat_apds_tpu.ops.resample import gaussian_blur
+
+        # Per-grid-level blur-matched pyramids: each level has ONE static
+        # scale s, so the matched σ per (level, grid) is static too.
+        blur_stacks = []
+        for g in range(3):
+            lt_b, lx_b, ly_b = [], [], []
+            for i, m in enumerate(ss.meta):
+                sigma = fast_blur_sigmas(m.sigma_size)[g]
+                lt_b.append(gaussian_blur(ss.Lt[i], sigma))
+                lx_b.append(gaussian_blur(lx_list[i], sigma))
+                ly_b.append(gaussian_blur(ly_list[i], sigma))
+            blur_stacks.append(_packed_stack(lt_b, lx_b, ly_b))
+        desc = mldb_descriptors_fast(
+            blur_stacks, level_hw, kps.xy, kps.size, kps.angle,
+            kps.class_id, kps.octave, kps.valid)
+    else:
+        desc = mldb_descriptors(
+            packed, level_hw,
+            kps.xy, kps.size, kps.angle, kps.class_id, kps.octave,
+            kps.valid, sample_fn=sample_fn)
     return Features(keypoints=kps, descriptors=desc)
 
 

@@ -156,3 +156,35 @@ def test_matching_shifted_image(rng):
     disp = np.asarray(tp)[ok] - np.asarray(qp)[ok]
     med = np.median(disp, axis=0)
     np.testing.assert_allclose(med, [shift, shift], atol=1.0)
+
+
+def test_fast_descriptor_mode(rng):
+    """Fast (blur-matched single-sample) descriptors: valid, deterministic,
+    discriminative, and close to the exact-mode descriptors."""
+    from cubesat_apds_tpu.ops.match import knn_match, matched_points
+
+    base = _corners_img(rng, n=256, k=16)
+    cfg_fast = AkazeConfig(capacity=512, descriptor_mode="fast")
+    f1 = detect_and_compute(base, cfg_fast)
+    # Keypoints identical to exact mode (detection unchanged).
+    f_exact = detect_and_compute(base, AkazeConfig(capacity=512))
+    np.testing.assert_array_equal(np.asarray(f1.keypoints.xy),
+                                  np.asarray(f_exact.keypoints.xy))
+    v = np.asarray(f1.keypoints.valid)
+    # Fast and exact descriptors agree on most bits (same construction,
+    # anti-aliased sampling).
+    d_f = np.asarray(f1.descriptors)[v]
+    d_e = np.asarray(f_exact.descriptors)[v]
+    flips = np.unpackbits(d_f ^ d_e, axis=-1).sum(-1)
+    assert np.median(flips) < 90, f"median flips {np.median(flips)}/486"
+
+    # End-to-end: shifted-image matching still works in fast mode.
+    moved = np.roll(base, (6, 6), axis=(0, 1))
+    f2 = detect_and_compute(moved, cfg_fast)
+    m = knn_match(f1.descriptors, f2.descriptors, ratio=0.7,
+                  q_valid=f1.keypoints.valid, db_valid=f2.keypoints.valid)
+    ok = np.asarray(m.valid)
+    assert ok.sum() >= 8
+    qp, tp = matched_points(f1.keypoints.xy, f2.keypoints.xy, m)
+    disp = np.asarray(tp)[ok] - np.asarray(qp)[ok]
+    np.testing.assert_allclose(np.median(disp, axis=0), [6, 6], atol=1.0)
