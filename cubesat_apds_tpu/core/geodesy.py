@@ -1,6 +1,8 @@
-"""Geodesy: affine geotransforms and WGS84 → ECEF, in pure JAX.
+"""Geodesy: affine geotransforms and WGS84 → ECEF, in float64 numpy.
 
-Replaces the reference's GDAL calls:
+Host-side math (numpy, full f64 precision — device code keeps x64
+disabled, and ECEF magnitudes ~6.4e6 m need better than f32's ~0.5 m
+granularity). Replaces the reference's GDAL calls:
   * ``geo_transform.apply`` / ``invert`` — 6-coefficient affine pixel↔world
     mapping (reference: geotiff_extractor/src/image_extractor/mod.rs:311-329).
   * GDAL ``SpatialRef``/``CoordTransform`` EPSG:4326 → EPSG:4978 — geodetic
@@ -14,7 +16,7 @@ GDAL geotransform convention (gt = [c0, c1, c2, c3, c4, c5]):
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+import numpy as np
 
 # WGS84 ellipsoid constants.
 WGS84_A = 6378137.0                 # semi-major axis [m]
@@ -24,7 +26,7 @@ WGS84_E2 = WGS84_F * (2.0 - WGS84_F)  # first eccentricity squared
 
 def geotransform_apply(gt, px, py):
     """Pixel → world coordinates. gt is [6] (GDAL order)."""
-    gt = jnp.asarray(gt, jnp.float64)
+    gt = np.asarray(gt, np.float64)
     wx = gt[0] + px * gt[1] + py * gt[2]
     wy = gt[3] + px * gt[4] + py * gt[5]
     return wx, wy
@@ -32,10 +34,10 @@ def geotransform_apply(gt, px, py):
 
 def geotransform_invert(gt):
     """Invert a 6-coefficient affine geotransform (GDAL GDALInvGeoTransform)."""
-    gt = jnp.asarray(gt, jnp.float64)
+    gt = np.asarray(gt, np.float64)
     det = gt[1] * gt[5] - gt[2] * gt[4]
     inv_det = 1.0 / det
-    return jnp.stack(
+    return np.stack(
         [
             (gt[2] * gt[3] - gt[0] * gt[5]) * inv_det,
             gt[5] * inv_det,
@@ -59,31 +61,31 @@ def geodetic_to_ecef(lon_deg, lat_deg, h):
     Closed-form WGS84; replaces GDAL CoordTransform
     (reference: feature_database/src/elevationdb.rs:92-104).
     """
-    lon = jnp.deg2rad(jnp.asarray(lon_deg, jnp.float64))
-    lat = jnp.deg2rad(jnp.asarray(lat_deg, jnp.float64))
-    sin_lat = jnp.sin(lat)
-    cos_lat = jnp.cos(lat)
-    n = WGS84_A / jnp.sqrt(1.0 - WGS84_E2 * sin_lat * sin_lat)
-    x = (n + h) * cos_lat * jnp.cos(lon)
-    y = (n + h) * cos_lat * jnp.sin(lon)
+    lon = np.deg2rad(np.asarray(lon_deg, np.float64))
+    lat = np.deg2rad(np.asarray(lat_deg, np.float64))
+    sin_lat = np.sin(lat)
+    cos_lat = np.cos(lat)
+    n = WGS84_A / np.sqrt(1.0 - WGS84_E2 * sin_lat * sin_lat)
+    x = (n + h) * cos_lat * np.cos(lon)
+    y = (n + h) * cos_lat * np.sin(lon)
     z = (n * (1.0 - WGS84_E2) + h) * sin_lat
-    return jnp.stack(jnp.broadcast_arrays(x, y, z), axis=-1)
+    return np.stack(np.broadcast_arrays(x, y, z), axis=-1)
 
 
 def ecef_to_geodetic(xyz):
     """ECEF → (lon°, lat°, h). Bowring's iteration (3 rounds, sub-mm)."""
-    xyz = jnp.asarray(xyz, jnp.float64)
+    xyz = np.asarray(xyz, np.float64)
     x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
-    lon = jnp.arctan2(y, x)
-    p = jnp.sqrt(x * x + y * y)
+    lon = np.arctan2(y, x)
+    p = np.sqrt(x * x + y * y)
     # Initial latitude guess (spherical), then iterate.
-    lat = jnp.arctan2(z, p * (1.0 - WGS84_E2))
+    lat = np.arctan2(z, p * (1.0 - WGS84_E2))
     for _ in range(3):
-        sin_lat = jnp.sin(lat)
-        n = WGS84_A / jnp.sqrt(1.0 - WGS84_E2 * sin_lat * sin_lat)
-        h = p / jnp.cos(lat) - n
-        lat = jnp.arctan2(z, p * (1.0 - WGS84_E2 * n / (n + h)))
-    sin_lat = jnp.sin(lat)
-    n = WGS84_A / jnp.sqrt(1.0 - WGS84_E2 * sin_lat * sin_lat)
-    h = p / jnp.cos(lat) - n
-    return jnp.rad2deg(lon), jnp.rad2deg(lat), h
+        sin_lat = np.sin(lat)
+        n = WGS84_A / np.sqrt(1.0 - WGS84_E2 * sin_lat * sin_lat)
+        h = p / np.cos(lat) - n
+        lat = np.arctan2(z, p * (1.0 - WGS84_E2 * n / (n + h)))
+    sin_lat = np.sin(lat)
+    n = WGS84_A / np.sqrt(1.0 - WGS84_E2 * sin_lat * sin_lat)
+    h = p / np.cos(lat) - n
+    return np.rad2deg(lon), np.rad2deg(lat), h

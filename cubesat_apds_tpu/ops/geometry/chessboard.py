@@ -48,14 +48,20 @@ def saddle_response(img, sigma: float = 2.0):
 def _nms_candidates(resp, capacity: int, border: int = 4):
     h, w = resp.shape
     neg = jnp.finfo(resp.dtype).min
-    rp = jnp.pad(resp, ((2, 2), (2, 2)), constant_values=neg)
-    pooled = jax.lax.reduce_window(rp, neg, jax.lax.max, (5, 5), (1, 1),
-                                   "VALID")
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    # Saddle responses PLATEAU across the 2×2 pixels around a corner (it
+    # sits between pixels): break exact ties with a tiny deterministic
+    # positional bias so NMS keeps exactly one peak per plateau on every
+    # platform (TPU and CPU order ties differently otherwise).
+    tiny = 1e-6 * jnp.maximum(jnp.max(jnp.abs(resp)), 1e-20)
+    key = resp - tiny * ((ys * w + xs).astype(resp.dtype) / (h * w))
+    rp = jnp.pad(key, ((2, 2), (2, 2)), constant_values=neg)
+    pooled = jax.lax.reduce_window(rp, neg, jax.lax.max, (5, 5), (1, 1),
+                                   "VALID")
     inside = (xs >= border) & (xs < w - border) & \
              (ys >= border) & (ys < h - border)
-    peak = (resp >= pooled) & (resp > 0) & inside
+    peak = (key >= pooled) & (resp > 0) & inside
     vals = jnp.where(peak, resp, neg)
     v, idx = jax.lax.top_k(vals.reshape(-1), capacity)
     py = (idx // w).astype(jnp.float32)
@@ -74,12 +80,36 @@ def find_chessboard_corners(img, nx: int, ny: int, capacity: int = 256):
     img = jnp.asarray(img, jnp.float32)
     n_corners = nx * ny
     resp = saddle_response(img)
+    # Gate by local-mean balance: a true inner corner averages two black
+    # and two white quadrants (local mean ≈ mid-gray); board-boundary
+    # corners abut the background on 2–3 quadrants (mean far from mid).
+    # A multiplicative gate breaks response ties ROBUSTLY — synthetic
+    # boards give bit-identical saddle responses and top-k tie order is
+    # platform-dependent.
+    local_mean = gaussian_blur(img, 3.0)
+    lo = jnp.min(img)
+    hi = jnp.max(img)
+    mid = 0.5 * (lo + hi)
+    half_range = jnp.maximum(0.5 * (hi - lo), 1e-6)
+    balance = 1.0 - jnp.clip(jnp.abs(local_mean - mid) / half_range, 0.0, 1.0)
+    resp = resp * balance
     cand_xy, cand_v, cand_valid = _nms_candidates(resp, capacity)
-    # Keep only the strongest nx·ny candidates: true inner corners (two
-    # dark quadrants) out-respond board-boundary corners (one dark
-    # quadrant), which would otherwise hijack the outer-extreme fit.
-    rank = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
-    cand_valid = cand_valid & (rank < n_corners)
+    # HARD gate on the balance at each candidate (inner corners ≈ 1.0,
+    # board-boundary corners ≤ ~0.5): order-independent — selection by
+    # response RANK is fragile because synthetic boards produce exact
+    # response ties whose top-k order differs between platforms and even
+    # jit/eager.
+    ci = jnp.clip(cand_xy.astype(jnp.int32), 0,
+                  jnp.asarray([img.shape[1] - 1, img.shape[0] - 1]))
+    cand_balance = balance[ci[:, 1], ci[:, 0]]
+    # 0.75 separates inner corners (~0.98) from the board's outer
+    # corner points (~0.64) and edge midpoints (~0.49).
+    cand_valid = cand_valid & (cand_balance > 0.75)
+    # Relative response gate: true corners respond within ~1 order of
+    # magnitude of each other; interpolation/noise saddles are ~100×
+    # weaker (measured bimodal split ≈ 0.004·max).
+    v_max = jnp.max(jnp.where(cand_valid, cand_v, 0.0))
+    cand_valid = cand_valid & (cand_v > 0.1 * v_max)
 
     # --- Initial 4-corner estimate: extremes along the two diagonals. ---
     big = jnp.float32(1e9)
@@ -122,7 +152,15 @@ def find_chessboard_corners(img, nx: int, ny: int, capacity: int = 256):
     pitch2 = jnp.sum((apply_homography(H, jnp.array([[0.0, 0.0]]))[0]
                       - apply_homography(H, jnp.array([[1.0, 0.0]]))[0]) ** 2)
     close = dmin < 0.25 * pitch2
-    found = jnp.all(close) & (jnp.sum(cand_valid) >= n_corners)
+    # Uniqueness: every grid node must snap to a DISTINCT candidate —
+    # a shifted lattice aliases several nodes onto one corner.
+    pred = apply_homography(H, grid)
+    d2 = jnp.sum((pred[:, None, :] - cand_xy[None, :, :]) ** 2, -1)
+    d2 = jnp.where(cand_valid[None, :], d2, big)
+    nearest = jnp.argmin(d2, axis=1)
+    counts = jnp.zeros((capacity,), jnp.int32).at[nearest].add(1)
+    unique = jnp.max(counts) <= 1
+    found = jnp.all(close) & unique & (jnp.sum(cand_valid) >= n_corners)
 
     # --- Sub-pixel refinement on the saddle response. ---
     h, w = resp.shape
