@@ -8,6 +8,10 @@ Usage: python benchmarks/bench_large_db.py [--db-size 1048576]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import time
 

@@ -1,0 +1,91 @@
+"""Streaming cadence benchmark — BASELINE.json config 5: continuous
+multi-frame pipeline (preprocess → detect → match → pose) at fixed
+cadence, with host↔device overlap.
+
+Usage: python benchmarks/bench_stream.py [--frames 100]
+Prints one JSON line with sustained fps and latency percentiles.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import json
+import statistics
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--db-size", type=int, default=10240)
+    ap.add_argument("--capacity", type=int, default=2048)
+    ap.add_argument("--descriptor-mode", default="exact")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cubesat_apds_tpu.core.config import (
+        AkazeConfig, MatchConfig, PipelineConfig, PnPConfig, RansacConfig)
+    from cubesat_apds_tpu.core.types import CameraModel
+    from cubesat_apds_tpu.pipelines.localize import DeviceDb
+    from cubesat_apds_tpu.pipelines.stream import StreamingLocalizer
+
+    rng = np.random.default_rng(0)
+    n = args.size
+    base = np.zeros((n, n), np.float32)
+    for _ in range(120):
+        cy, cx = rng.integers(10, n - 50, 2)
+        s = int(rng.integers(8, 40))
+        base[cy:cy + s, cx:cx + s] = rng.uniform(0.2, 1.0)
+
+    def frames():
+        for i in range(args.frames):
+            yield np.roll(base, i % 7, axis=1)
+
+    m = args.db_size
+    db = DeviceDb(
+        descriptors=jnp.asarray(rng.integers(0, 256, (m, 61),
+                                             dtype=np.uint8)),
+        xy=jnp.asarray(rng.uniform(0, n, (m, 2)).astype(np.float32)),
+        valid=jnp.ones(m, bool),
+        obj_points=jnp.zeros((m, 3), jnp.float32),
+        has_world=True,
+    )
+    config = PipelineConfig(
+        akaze=AkazeConfig(capacity=args.capacity,
+                          descriptor_mode=args.descriptor_mode),
+        match=MatchConfig(ratio=0.75),
+        ransac=RansacConfig(num_hypotheses=256),
+        pnp=PnPConfig(num_hypotheses=64),
+    )
+    cam = CameraModel.ideal(float(n), float(n), n / 2.0, n / 2.0)
+
+    s = StreamingLocalizer(db, cam, config, solve_pose=True, prefetch=2)
+    import time
+
+    # Warm up compile on one frame outside the timed stream.
+    warm = list(s.run([base]))
+    t0 = time.perf_counter()
+    results = list(s.run(frames()))
+    wall = time.perf_counter() - t0
+    lat = [r.latency_s for r in results]
+    print(json.dumps({
+        "bench": "stream_localize",
+        "frames": len(results),
+        "sustained_fps": round(len(results) / wall, 2),
+        "latency_ms_p50": round(1e3 * statistics.median(lat), 2),
+        "latency_ms_p95": round(
+            1e3 * sorted(lat)[int(0.95 * len(lat)) - 1], 2),
+        "descriptor_mode": args.descriptor_mode,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -74,6 +74,33 @@ def warp_perspective(img, H, out_shape=None, fill_value: float = 0.0):
     return bilinear_sample(img, coords, fill_value)
 
 
+def undistort_image(img, camera, grid=None):
+    """Remove lens distortion from a frame (BASELINE config 3: batched
+    undistortion of frame streams).
+
+    The sampling grid depends only on the camera model — precompute it
+    once with core.camera.undistort_image_grid and pass it via `grid`
+    for streaming use; the per-frame work is then one bilinear gather.
+    """
+    from cubesat_apds_tpu.core.camera import undistort_image_grid
+
+    img = jnp.asarray(img)
+    if grid is None:
+        grid = undistort_image_grid(img.shape[:2], camera)
+    return bilinear_sample(img, grid)
+
+
+def undistort_frames(frames, camera):
+    """vmapped undistortion over a frame batch [B, H, W(, C)]."""
+    import jax
+
+    from cubesat_apds_tpu.core.camera import undistort_image_grid
+
+    frames = jnp.asarray(frames)
+    grid = undistort_image_grid(frames.shape[1:3], camera)
+    return jax.vmap(lambda f: bilinear_sample(f, grid))(frames)
+
+
 def apply_homography(H, pts):
     """Transform 2D points [..., N, 2] by 3×3 homography [..., 3, 3]."""
     ones = jnp.ones(pts.shape[:-1] + (1,), pts.dtype)

@@ -17,6 +17,7 @@ TPU-native design:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import queue
 import threading
 import time
@@ -30,6 +31,34 @@ from cubesat_apds_tpu.core.config import PipelineConfig
 from cubesat_apds_tpu.core.types import CameraModel
 from cubesat_apds_tpu.pipelines.localize import DeviceDb, localize_frame_jit
 from cubesat_apds_tpu.utils.profiling import StageTimes
+
+
+@functools.partial(jax.jit, static_argnames=("config", "solve_pose"))
+def _localize_packed(frame, db, camera, config, solve_pose):
+    """Localize and PACK every scalar output into one [22] f32 vector.
+
+    One device array = ONE host fetch per frame; fetching the result
+    pytree field-by-field costs a round trip per leaf (which dominates
+    sustained throughput on remote-attached TPUs).
+    """
+    if frame.dtype == jnp.uint8:
+        frame = frame.astype(jnp.float32) / 255.0
+    r = localize_frame_jit(frame, db, camera, config, solve_pose)
+    pose = r.pose
+    tail = [
+        jnp.asarray([r.homography.ok], jnp.float32),
+        jnp.asarray([r.homography.num_inliers], jnp.float32),
+        jnp.asarray([r.num_matches], jnp.float32),
+        jnp.asarray([r.num_keypoints], jnp.float32),
+    ]
+    if pose is not None:
+        tail += [pose.rvec, pose.tvec,
+                 jnp.asarray([pose.ok], jnp.float32),
+                 jnp.asarray([pose.num_inliers], jnp.float32)]
+    else:
+        tail += [jnp.zeros(3), jnp.zeros(3), jnp.zeros(1), jnp.zeros(1)]
+    return jnp.concatenate([r.homography.H.reshape(-1).astype(jnp.float32)]
+                           + [t.astype(jnp.float32) for t in tail])
 
 
 @dataclasses.dataclass
@@ -51,17 +80,21 @@ class StreamingLocalizer:
 
     def __init__(self, db: DeviceDb, camera: CameraModel,
                  config: PipelineConfig = PipelineConfig(),
-                 solve_pose: bool = True, prefetch: int = 2):
+                 solve_pose: bool = True, prefetch: int = 2,
+                 transfer_uint8: bool = True):
         self.db = db
         self.camera = camera
         self.config = config
         self.solve_pose = solve_pose
         self.prefetch = max(prefetch, 1)
+        # Camera frames are uint8; shipping them as such quarters the
+        # host→device traffic (float conversion happens on device).
+        self.transfer_uint8 = transfer_uint8
         self.times = StageTimes()
 
     def _device_step(self, frame_dev):
-        return localize_frame_jit(frame_dev, self.db, self.camera,
-                                  self.config, self.solve_pose)
+        return _localize_packed(frame_dev, self.db, self.camera,
+                                self.config, self.solve_pose)
 
     def run(self, frames: Iterable[np.ndarray],
             preprocess: Optional[Callable[[np.ndarray], np.ndarray]] = None
@@ -79,7 +112,10 @@ class StreamingLocalizer:
                 t0 = time.perf_counter()
                 if preprocess is not None:
                     f = preprocess(f)
-                arr = jnp.asarray(np.asarray(f, np.float32))
+                f = np.asarray(f)
+                if self.transfer_uint8 and f.dtype != np.uint8:
+                    f = np.clip(f * 255.0, 0, 255).astype(np.uint8)
+                arr = jnp.asarray(f)
                 # device_put happens lazily at dispatch; timing the host
                 # side only here.
                 self.times.add("host_preprocess", time.perf_counter() - t0)
@@ -106,20 +142,18 @@ class StreamingLocalizer:
 
     def _finish(self, frame_id: int, t_enq: float, out) -> StreamResult:
         t0 = time.perf_counter()
-        leaves = jax.tree_util.tree_leaves(out)
-        jax.block_until_ready(leaves)
+        packed = np.asarray(out)            # single D2H fetch
         self.times.add("device_wait", time.perf_counter() - t0)
-        pose = out.pose
         res = StreamResult(
             frame_id=frame_id,
-            homography=np.asarray(out.homography.H),
-            homography_ok=bool(out.homography.ok),
-            num_inliers=int(out.homography.num_inliers),
-            num_matches=int(out.num_matches),
-            num_keypoints=int(out.num_keypoints),
-            rvec=None if pose is None else np.asarray(pose.rvec),
-            tvec=None if pose is None else np.asarray(pose.tvec),
-            pose_ok=None if pose is None else bool(pose.ok),
+            homography=packed[:9].reshape(3, 3),
+            homography_ok=bool(packed[9] > 0),
+            num_inliers=int(packed[10]),
+            num_matches=int(packed[11]),
+            num_keypoints=int(packed[12]),
+            rvec=(packed[13:16] if self.solve_pose else None),
+            tvec=(packed[16:19] if self.solve_pose else None),
+            pose_ok=(bool(packed[19] > 0) if self.solve_pose else None),
             latency_s=time.perf_counter() - t_enq,
         )
         self.times.add("total_latency", res.latency_s)
