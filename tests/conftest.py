@@ -19,6 +19,11 @@ import jax  # noqa: E402
 # is authoritative.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# The suite is compile-dominated (the unrolled 16-level AKAZE graph takes
+# ~40-100 s per shape/config variant); persist compiled executables so
+# repeat runs skip them.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 4.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
