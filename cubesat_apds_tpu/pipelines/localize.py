@@ -145,3 +145,81 @@ def localize_frame(frame, store: FeatureStore, camera: CameraModel,
         solve_pose = db.has_world
     return localize_frame_jit(jnp.asarray(frame, jnp.float32), db, camera,
                               config, solve_pose)
+
+
+def localize_coarse_to_fine(frame, store, camera: CameraModel,
+                            config: PipelineConfig = PipelineConfig(),
+                            coarse_lod: Optional[int] = None,
+                            margin: float = 0.25,
+                            pad_multiple: int = 2048,
+                            solve_pose: Optional[bool] = None):
+    """Two-stage localization over the LoD pyramid.
+
+    The reference stores an LoD pyramid but never uses it online
+    (SURVEY.md §1 gap); here it earns its keep: match first against the
+    small coarse-LoD DB, project the frame's corners through the coarse
+    homography to get a reference-frame search window, then match only
+    the LoD-0 keypoints inside that window (the store's spatial
+    bbox-per-LoD query, keypointdb.rs:67-90 semantics) — the fine stage
+    touches a fraction of the full DB.
+
+    Returns (fine_result, coarse_result, window).
+    """
+    import numpy as np
+
+    frame = jnp.asarray(frame, jnp.float32)
+    lods = sorted({r.level_of_detail for r in store.images.values()}) \
+        if hasattr(store, "images") else \
+        sorted({r.level_of_detail for r in store._images.values()})
+    if coarse_lod is None:
+        coarse_lod = lods[-1]
+
+    coarse_db = load_device_db(store, coarse_lod, pad_multiple)
+    if solve_pose is None:
+        solve_pose = coarse_db.has_world
+    coarse = localize_frame_jit(frame, coarse_db, camera, config, False)
+
+    H = np.asarray(coarse.homography.H, np.float64)
+    h, w = frame.shape
+    corners = np.array([[0, 0, 1], [w, 0, 1], [0, h, 1], [w, h, 1]],
+                       np.float64)
+    proj = corners @ H.T
+    proj = proj[:, :2] / np.clip(proj[:, 2:3], 1e-9, None)
+    x0, y0 = proj.min(axis=0)
+    x1, y1 = proj.max(axis=0)
+    mx = margin * (x1 - x0)
+    my = margin * (y1 - y0)
+    window = (x0 - mx, x1 + mx, y0 - my, y1 + my)
+
+    if not bool(coarse.homography.ok):
+        # No coarse fix — fall back to the full LoD-0 DB.
+        fine_db = load_device_db(store, lods[0], pad_multiple)
+        fine = localize_frame_jit(frame, fine_db, camera, config,
+                                  solve_pose)
+        return fine, coarse, None
+
+    cols, desc = store.read_keypoints_from_coordinates(
+        window[0], window[1], window[2], window[3], lods[0])
+    n = len(desc)
+    m = max(pad_multiple, -(-n // pad_multiple) * pad_multiple)
+    desc_p = np.zeros((m, desc.shape[1] if n else 61), np.uint8)
+    xy_p = np.zeros((m, 2), np.float32)
+    valid_p = np.zeros(m, bool)
+    if n:
+        desc_p[:n] = desc
+        xy_p[:n, 0] = cols["x"]
+        xy_p[:n, 1] = cols["y"]
+        valid_p[:n] = True
+    has_world = coarse_db.has_world
+    if has_world and n:
+        obj = store.get_world_coordinates(1, xy_p[:, 0], xy_p[:, 1])
+        obj = np.where(valid_p[:, None], obj, 0.0).astype(np.float32)
+    else:
+        obj = np.zeros((m, 3), np.float32)
+    fine_db = DeviceDb(
+        descriptors=jnp.asarray(desc_p), xy=jnp.asarray(xy_p),
+        valid=jnp.asarray(valid_p), obj_points=jnp.asarray(obj),
+        has_world=has_world)
+    fine = localize_frame_jit(frame, fine_db, camera, config,
+                              solve_pose and has_world)
+    return fine, coarse, window

@@ -147,3 +147,26 @@ def test_device_db_export(mosaic_dir):
     db = load_device_db(store, lod=0, pad_multiple=256)
     assert db.descriptors.shape[0] % 256 == 0
     assert int(db.valid.sum()) == len(store)
+
+
+def test_localize_coarse_to_fine(mosaic_dir):
+    """Two-stage LoD localization: coarse fix narrows the fine search
+    window; fine result recovers the frame offset."""
+    from cubesat_apds_tpu.pipelines.localize import localize_coarse_to_fine
+
+    path, img = mosaic_dir
+    ds = MosaicDataset.from_folder(str(path))
+    store, _ = preprocess(ds, config=CFG, amount_lod=2)
+    cam = CameraModel.ideal(300.0, 300.0, 64.0, 64.0)
+    full = _processed_gray(ds, 0, 0, 256, 256)
+    crop = full[64:192, 32:160]                      # offset (x=32, y=64)
+    fine, coarse, window = localize_coarse_to_fine(
+        crop, store, cam, config=CFG, pad_multiple=256)
+    assert bool(fine.homography.ok)
+    H = np.asarray(fine.homography.H)
+    assert H[0, 2] == pytest.approx(32.0, abs=2.5)
+    assert H[1, 2] == pytest.approx(64.0, abs=2.5)
+    if window is not None:
+        x0, x1, y0, y1 = window
+        # The window contains the crop's true footprint [32,160]x[64,192].
+        assert x0 < 40 and x1 > 150 and y0 < 72 and y1 > 180
