@@ -1,0 +1,256 @@
+// Native TIFF decoder: multithreaded strip/tile decode for the host
+// ingestion path.
+//
+// Role: the GDAL raster-read replacement's hot loop (reference:
+// geotiff_extractor reads via GDAL C FFI; our PIL fallback is
+// single-threaded Python). Scope: classic TIFF (not BigTIFF), both
+// endiannesses, strips or tiles, compression none(1) / zlib deflate
+// (8, 32946), horizontal differencing predictor(2), uint8/uint16/float32,
+// contiguous (chunky) sample layout. Anything else → caller falls back
+// to PIL (the wrapper checks tiff_supported()).
+//
+// Build: g++ -O3 -march=native -shared -fPIC tiff_decode.cc -o libtiff_decode.so -lz -lpthread
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+struct Reader {
+  const uint8_t* p;
+  size_t n;
+  bool swap;  // file endianness != host (host assumed little-endian)
+
+  uint16_t u16(size_t off) const {
+    uint16_t v;
+    std::memcpy(&v, p + off, 2);
+    if (swap) v = __builtin_bswap16(v);
+    return v;
+  }
+  uint32_t u32(size_t off) const {
+    uint32_t v;
+    std::memcpy(&v, p + off, 4);
+    if (swap) v = __builtin_bswap32(v);
+    return v;
+  }
+};
+
+struct Tiff {
+  std::vector<uint8_t> file;
+  Reader r;
+  // Geometry
+  uint32_t width = 0, height = 0;
+  uint16_t samples = 1, bits = 8, compression = 1, predictor = 1;
+  uint16_t sample_format = 1;  // 1 uint, 3 float
+  uint16_t planar = 1;
+  // Chunk layout (strips or tiles)
+  bool tiled = false;
+  uint32_t tile_w = 0, tile_h = 0;      // for strips: tile_w=width
+  std::vector<uint64_t> offsets;
+  std::vector<uint64_t> counts;
+};
+
+// Read a tag's value array as uint64s (SHORT=3, LONG=4 supported).
+bool tag_values(const Reader& r, size_t entry, std::vector<uint64_t>* out) {
+  uint16_t type = r.u16(entry + 2);
+  uint32_t count = r.u32(entry + 4);
+  size_t elem = (type == 3) ? 2 : (type == 4) ? 4 : 0;
+  if (elem == 0) return false;
+  size_t total = elem * count;
+  size_t src = (total <= 4) ? entry + 8 : r.u32(entry + 8);
+  if (src + total > r.n) return false;
+  out->resize(count);
+  for (uint32_t i = 0; i < count; ++i) {
+    (*out)[i] = (elem == 2) ? r.u16(src + 2 * i) : r.u32(src + 4 * i);
+  }
+  return true;
+}
+
+bool parse(Tiff* t) {
+  const Reader& r = t->r;
+  if (r.n < 8) return false;
+  bool le = (r.p[0] == 'I' && r.p[1] == 'I');
+  bool be = (r.p[0] == 'M' && r.p[1] == 'M');
+  if (!le && !be) return false;
+  const_cast<Reader&>(t->r).swap = be;  // host assumed little-endian
+  if (t->r.u16(2) != 42) return false;  // BigTIFF (43) unsupported
+  size_t ifd = t->r.u32(4);
+  if (ifd + 2 > r.n) return false;
+  uint16_t n_entries = t->r.u16(ifd);
+  std::vector<uint64_t> v;
+  uint32_t rows_per_strip = 0xFFFFFFFFu;
+  for (uint16_t i = 0; i < n_entries; ++i) {
+    size_t e = ifd + 2 + 12 * i;
+    if (e + 12 > r.n) return false;
+    uint16_t tag = t->r.u16(e);
+    switch (tag) {
+      case 256: if (tag_values(t->r, e, &v)) t->width = v[0]; break;
+      case 257: if (tag_values(t->r, e, &v)) t->height = v[0]; break;
+      case 258: if (tag_values(t->r, e, &v)) t->bits = v[0]; break;
+      case 259: if (tag_values(t->r, e, &v)) t->compression = v[0]; break;
+      case 273: if (tag_values(t->r, e, &v)) t->offsets = v; break;
+      case 277: if (tag_values(t->r, e, &v)) t->samples = v[0]; break;
+      case 278: if (tag_values(t->r, e, &v)) rows_per_strip = v[0]; break;
+      case 279: if (tag_values(t->r, e, &v)) t->counts = v; break;
+      case 284: if (tag_values(t->r, e, &v)) t->planar = v[0]; break;
+      case 317: if (tag_values(t->r, e, &v)) t->predictor = v[0]; break;
+      case 322: if (tag_values(t->r, e, &v)) { t->tile_w = v[0]; t->tiled = true; } break;
+      case 323: if (tag_values(t->r, e, &v)) t->tile_h = v[0]; break;
+      case 324: if (tag_values(t->r, e, &v)) { t->offsets = v; t->tiled = true; } break;
+      case 325: if (tag_values(t->r, e, &v)) t->counts = v; break;
+      case 339: if (tag_values(t->r, e, &v)) t->sample_format = v[0]; break;
+      default: break;
+    }
+  }
+  if (!t->tiled) {
+    t->tile_w = t->width;
+    t->tile_h = rows_per_strip == 0xFFFFFFFFu ? t->height : rows_per_strip;
+  }
+  return t->width && t->height && !t->offsets.empty() &&
+         t->offsets.size() == t->counts.size();
+}
+
+bool supported(const Tiff& t) {
+  if (t.planar != 1) return false;
+  if (t.compression != 1 && t.compression != 8 && t.compression != 32946)
+    return false;
+  if (t.predictor != 1 && t.predictor != 2) return false;
+  if (!(t.bits == 8 || t.bits == 16 || t.bits == 32)) return false;
+  if (t.bits == 32 && t.sample_format != 3) return false;  // f32 only
+  return true;
+}
+
+// Decode one chunk (strip or tile) into the destination image.
+bool decode_chunk(const Tiff& t, size_t idx, uint8_t* dst) {
+  size_t bpp = (t.bits / 8) * t.samples;        // bytes per pixel
+  uint32_t tiles_across = t.tiled ? (t.width + t.tile_w - 1) / t.tile_w : 1;
+  uint32_t tx = t.tiled ? (idx % tiles_across) : 0;
+  uint32_t ty = t.tiled ? (idx / tiles_across) : idx;
+  uint32_t y0 = ty * t.tile_h;
+  uint32_t x0 = tx * t.tile_w;
+  if (y0 >= t.height) return true;
+  uint32_t rows = std::min<uint32_t>(t.tile_h, t.height - y0);
+  uint32_t cols = t.tiled ? t.tile_w : t.width;  // tiles are padded
+  size_t row_bytes = size_t(cols) * bpp;
+  size_t raw_size = row_bytes * (t.tiled ? t.tile_h : rows);
+
+  const uint8_t* src = t.r.p + t.offsets[idx];
+  size_t src_n = t.counts[idx];
+  if (t.offsets[idx] + src_n > t.r.n) return false;
+
+  std::vector<uint8_t> buf;
+  const uint8_t* data;
+  if (t.compression == 1) {
+    if (src_n < row_bytes * rows) return false;
+    data = src;
+  } else {
+    buf.resize(raw_size);
+    uLongf out_n = raw_size;
+    if (uncompress(buf.data(), &out_n, src, src_n) != Z_OK) return false;
+    data = buf.data();
+  }
+
+  // Horizontal differencing predictor (per row, per sample channel).
+  std::vector<uint8_t> pred;
+  if (t.predictor == 2) {
+    pred.assign(data, data + row_bytes * rows);
+    size_t sb = t.bits / 8;
+    for (uint32_t y = 0; y < rows; ++y) {
+      uint8_t* row = pred.data() + y * row_bytes;
+      if (sb == 1) {
+        for (size_t i = t.samples; i < row_bytes; ++i) row[i] += row[i - t.samples];
+      } else if (sb == 2) {
+        uint16_t* r16 = reinterpret_cast<uint16_t*>(row);
+        size_t n16 = row_bytes / 2;
+        for (size_t i = t.samples; i < n16; ++i) r16[i] += r16[i - t.samples];
+      } else {
+        return false;  // float predictor(3) not supported; pred2+f32 odd
+      }
+    }
+    data = pred.data();
+  }
+
+  // Copy into destination (crop tile padding at right/bottom edges).
+  size_t img_row_bytes = size_t(t.width) * bpp;
+  uint32_t copy_cols = std::min<uint32_t>(cols, t.width - x0);
+  for (uint32_t y = 0; y < rows; ++y) {
+    std::memcpy(dst + (size_t(y0 + y) * t.width + x0) * bpp,
+                data + size_t(y) * row_bytes, size_t(copy_cols) * bpp);
+  }
+  (void)img_row_bytes;
+
+  // Byte-swap multi-byte samples for big-endian files.
+  if (t.r.swap && t.bits == 16) {
+    for (uint32_t y = 0; y < rows; ++y) {
+      uint16_t* row = reinterpret_cast<uint16_t*>(
+          dst + (size_t(y0 + y) * t.width + x0) * bpp);
+      for (size_t i = 0; i < size_t(copy_cols) * t.samples; ++i)
+        row[i] = __builtin_bswap16(row[i]);
+    }
+  } else if (t.r.swap && t.bits == 32) {
+    for (uint32_t y = 0; y < rows; ++y) {
+      uint32_t* row = reinterpret_cast<uint32_t*>(
+          dst + (size_t(y0 + y) * t.width + x0) * bpp);
+      for (size_t i = 0; i < size_t(copy_cols) * t.samples; ++i)
+        row[i] = __builtin_bswap32(row[i]);
+    }
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse the header from an in-memory file. Returns an opaque handle
+// (heap Tiff*) or null. info_out[0..6] = width, height, samples, bits,
+// sample_format (1 uint/3 float), n_chunks, supported(0/1).
+void* tiff_open(const uint8_t* data, int64_t n, int64_t* info_out) {
+  Tiff* t = new Tiff();
+  t->file.assign(data, data + n);
+  t->r = Reader{t->file.data(), static_cast<size_t>(n), false};
+  if (!parse(t)) {
+    delete t;
+    return nullptr;
+  }
+  info_out[0] = t->width;
+  info_out[1] = t->height;
+  info_out[2] = t->samples;
+  info_out[3] = t->bits;
+  info_out[4] = t->sample_format;
+  info_out[5] = static_cast<int64_t>(t->offsets.size());
+  info_out[6] = supported(*t) ? 1 : 0;
+  return t;
+}
+
+// Decode the full image into out (width*height*samples elements of the
+// natural dtype). Multithreaded over chunks. Returns 0 on success.
+int tiff_decode(void* handle, uint8_t* out, int n_threads) {
+  Tiff* t = static_cast<Tiff*>(handle);
+  if (!supported(*t)) return 1;
+  size_t n_chunks = t->offsets.size();
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> threads;
+  std::vector<int> ok(n_threads, 1);
+  size_t per = (n_chunks + n_threads - 1) / n_threads;
+  for (int w = 0; w < n_threads; ++w) {
+    threads.emplace_back([&, w]() {
+      size_t lo = w * per, hi = std::min(n_chunks, lo + per);
+      for (size_t i = lo; i < hi; ++i)
+        if (!decode_chunk(*t, i, out)) { ok[w] = 0; return; }
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int w = 0; w < n_threads; ++w)
+    if (!ok[w]) return 2;
+  return 0;
+}
+
+void tiff_close(void* handle) { delete static_cast<Tiff*>(handle); }
+
+}  // extern "C"

@@ -111,10 +111,19 @@ def _nodata_from_tags(tags) -> Optional[float]:
 
 
 def read_geotiff(path: str, apply_nodata: bool = True) -> GeoRaster:
-    """Decode a GeoTIFF into float32 bands [C, H, W] + geo metadata."""
+    """Decode a GeoTIFF into float32 bands [C, H, W] + geo metadata.
+
+    Pixels go through the native multithreaded decoder
+    (io.native.read_tiff_native) when the file's layout is supported;
+    geo tags always come from the (lazy, no-decode) PIL header read.
+    """
+    from cubesat_apds_tpu.io.native import read_tiff_native
+
     with Image.open(path) as im:
         tags = dict(im.tag_v2) if hasattr(im, "tag_v2") else {}
-        arr = np.asarray(im)
+        arr = read_tiff_native(path)
+        if arr is None:
+            arr = np.asarray(im)
     if arr.ndim == 2:
         arr = arr[None]
     else:  # H, W, C → C, H, W

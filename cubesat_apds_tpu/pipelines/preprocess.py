@@ -82,6 +82,10 @@ def preprocess(
                 rgba = dataset.to_rgb((c * step, r * step), (step, step),
                                       (tile_size, tile_size))
                 grays.append(rgb_to_gray(jnp.asarray(rgba[..., :3])))
+            # Pad ragged final batches to the fixed batch width — a new
+            # batch shape would trigger a full AKAZE recompile.
+            while len(grays) < tile_batch and len(tiles_meta) > tile_batch:
+                grays.append(jnp.zeros_like(grays[0]))
             batch = jnp.stack(grays)
             feats = detect_and_compute_batch(batch, config.akaze)
 

@@ -126,3 +126,48 @@ def test_fill_nodata():
     filled = MosaicDataset.fill_nodata(band)
     assert not np.isnan(filled).any()
     np.testing.assert_allclose(filled, 5.0, atol=1e-5)
+
+
+def test_native_tiff_decoder_matches_pil(tmp_path, rng):
+    """Native decoder vs PIL on uncompressed + deflate, u8/u16/f32,
+    strip layouts, both via the public read path."""
+    from PIL import Image
+    from cubesat_apds_tpu.io.native import get_lib, read_tiff_native
+
+    assert get_lib() is not None  # toolchain is part of the env contract
+
+    # uint8 RGB, uncompressed
+    a = rng.integers(0, 255, (70, 53, 3), dtype=np.uint8)
+    p1 = str(tmp_path / "u8.tif")
+    Image.fromarray(a).save(p1)
+    got = read_tiff_native(p1)
+    np.testing.assert_array_equal(got, a)
+
+    # uint8 gray, adobe deflate
+    b = rng.integers(0, 255, (40, 64), dtype=np.uint8)
+    p2 = str(tmp_path / "u8z.tif")
+    Image.fromarray(b).save(p2, compression="tiff_adobe_deflate")
+    got = read_tiff_native(p2)
+    np.testing.assert_array_equal(got, b)
+
+    # float32 single band
+    c = rng.standard_normal((33, 47)).astype(np.float32)
+    p3 = str(tmp_path / "f32.tif")
+    Image.fromarray(c).save(p3)
+    got = read_tiff_native(p3)
+    np.testing.assert_array_equal(got, c)
+
+    # uint16
+    d = rng.integers(0, 65535, (25, 31), dtype=np.uint16)
+    p4 = str(tmp_path / "u16.tif")
+    Image.fromarray(d).save(p4)
+    got = read_tiff_native(p4)
+    np.testing.assert_array_equal(got, d)
+
+
+def test_read_geotiff_uses_native_path(tmp_path, rng):
+    """read_geotiff pixel output is identical whichever decoder runs."""
+    data, gt = _write_tile(tmp_path / "n.tif", rng, 5.0, 7.0)
+    r = read_geotiff(str(tmp_path / "n.tif"))
+    np.testing.assert_array_equal(r.bands.astype(np.uint8),
+                                  np.moveaxis(data, -1, 0))
