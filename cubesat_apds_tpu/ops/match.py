@@ -183,6 +183,36 @@ def knn_match(q_desc_packed, db_desc_packed, ratio: float = 0.3,
     )
 
 
+def knn_matches_k(q_desc_packed, db_desc_packed, k: int,
+                  q_valid=None, db_valid=None):
+    """General k-nearest-neighbour search (the `k` parameter of
+    get_knn_matches, reference lib.rs:94-103; the pipeline itself only
+    consumes k=2 via knn_match).
+
+    Returns (distances [Q, k] float32, indices [Q, k] int32), ordered by
+    (distance, index) exactly like OpenCV's knnMatch. Entries beyond the
+    number of valid DB rows carry the invalid sentinel distance.
+    """
+    qb = unpack_bits(q_desc_packed)
+    db = unpack_bits(db_desc_packed)
+    dist = hamming_matrix(qb, db)
+    m = dist.shape[1]
+    assert 512 * (m + 1) < 2**31 - 1
+    idx = jnp.arange(m, dtype=jnp.int32)
+    key = dist * m + idx[None, :]
+    if db_valid is not None:
+        key = jnp.where(db_valid[None, :], key, _INVALID_KEY)
+    neg_top, _ = jax.lax.top_k(-key, k)
+    top_key = -neg_top                                    # ascending keys
+    invalid = top_key == _INVALID_KEY
+    d = jnp.where(invalid, _INVALID_DIST,
+                  (top_key // m).astype(jnp.float32))
+    i = jnp.where(invalid, 0, top_key % m).astype(jnp.int32)
+    if q_valid is not None:
+        d = jnp.where(q_valid[:, None], d, _INVALID_DIST)
+    return d, i
+
+
 def crosscheck_match(q_desc_packed, db_desc_packed,
                      q_valid=None, db_valid=None) -> Matches:
     """get_bruteforce_matches equivalent (reference lib.rs:116-126):

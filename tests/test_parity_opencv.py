@@ -241,3 +241,17 @@ def test_chessboard_parity():
     d = np.linalg.norm(c_cv[:, None] - c_us[None, :], axis=-1)
     assert d.min(axis=1).max() < 1.0
     assert d.min(axis=0).max() < 1.0
+
+
+def test_knn_k_parity(rng):
+    """General k-NN (k=4) ordering matches cv2.BFMatcher.knnMatch
+    exactly, including (distance, index) tie-breaking."""
+    q = _rand_desc(rng, 40)
+    db = np.concatenate([_rand_desc(rng, 100), q[:10]])  # planted ties
+    bf = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=False)
+    cv_matches = bf.knnMatch(q, db, k=4)
+    d_cv = np.array([[m.distance for m in row] for row in cv_matches])
+    i_cv = np.array([[m.trainIdx for m in row] for row in cv_matches])
+    d, i = M.knn_matches_k(q, db, k=4)
+    np.testing.assert_array_equal(np.asarray(d), d_cv)
+    np.testing.assert_array_equal(np.asarray(i), i_cv)
