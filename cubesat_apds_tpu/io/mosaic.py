@@ -189,17 +189,24 @@ class MosaicDataset:
 
     def detect_nodata(self, band: int = 1,
                       border_fraction_threshold: float = 0.5):
-        """Detect a nodata value: the most common value on the raster
-        border if it covers more than `border_fraction_threshold` of it.
-        Returns the value (float) or None."""
+        """Detect a nodata value from the raster border.
+
+        Return contract (disjoint cases):
+          * float value — the most common finite border value, when it
+            covers ≥ `border_fraction_threshold` of the border;
+          * float('nan') — non-finite pixels cover more than the
+            threshold fraction of the border (nodata IS NaN);
+          * None — no dominant border value found.
+        """
         full = self.read_window(0, 0, self.width, self.height, (band,))[0]
         border = np.concatenate([
             full[0, :], full[-1, :], full[:, 0], full[:, -1]])
         finite = border[np.isfinite(border)]
-        if len(finite) < len(border) * (1.0 - border_fraction_threshold):
-            return float("nan")  # dominant border value is already NaN
+        n_nonfinite = len(border) - len(finite)
+        if n_nonfinite > border_fraction_threshold * len(border):
+            return float("nan")  # dominant border "value" is NaN itself
         if len(finite) == 0:
-            return float("nan")
+            return None
         vals, counts = np.unique(finite, return_counts=True)
         top = counts.argmax()
         if counts[top] >= border_fraction_threshold * len(border):

@@ -152,14 +152,28 @@ bool decode_chunk(const Tiff& t, size_t idx, uint8_t* dst) {
     buf.resize(raw_size);
     uLongf out_n = raw_size;
     if (uncompress(buf.data(), &out_n, src, src_n) != Z_OK) return false;
+    // A truncated/corrupt stream can inflate to less than the rows we
+    // copy below and still return Z_OK; fail instead of reading the
+    // uninitialized tail of buf.
+    if (out_n < row_bytes * rows) return false;
     data = buf.data();
   }
 
   // Horizontal differencing predictor (per row, per sample channel).
+  // Multi-byte samples must be in HOST byte order before the sums
+  // accumulate, so big-endian files are swapped here (and not again
+  // after the copy below).
   std::vector<uint8_t> pred;
+  bool swapped_in_pred = false;
   if (t.predictor == 2) {
     pred.assign(data, data + row_bytes * rows);
     size_t sb = t.bits / 8;
+    if (t.r.swap && sb == 2) {
+      uint16_t* all = reinterpret_cast<uint16_t*>(pred.data());
+      size_t n_all = row_bytes * rows / 2;
+      for (size_t i = 0; i < n_all; ++i) all[i] = __builtin_bswap16(all[i]);
+      swapped_in_pred = true;
+    }
     for (uint32_t y = 0; y < rows; ++y) {
       uint8_t* row = pred.data() + y * row_bytes;
       if (sb == 1) {
@@ -184,8 +198,9 @@ bool decode_chunk(const Tiff& t, size_t idx, uint8_t* dst) {
   }
   (void)img_row_bytes;
 
-  // Byte-swap multi-byte samples for big-endian files.
-  if (t.r.swap && t.bits == 16) {
+  // Byte-swap multi-byte samples for big-endian files (unless the
+  // predictor path already swapped them pre-accumulation).
+  if (t.r.swap && t.bits == 16 && !swapped_in_pred) {
     for (uint32_t y = 0; y < rows; ++y) {
       uint16_t* row = reinterpret_cast<uint16_t*>(
           dst + (size_t(y0 + y) * t.width + x0) * bpp);

@@ -160,7 +160,6 @@ def write_geotiff(path: str, bands: np.ndarray, geotransform,
         img_arr = bands
     im = Image.fromarray(img_arr)
     gt = np.asarray(geotransform, np.float64)
-    ifd = Image.Exif() if False else None  # tags go through tiffinfo below
     tiffinfo = {
         _TAG_PIXEL_SCALE: (float(gt[1]), float(-gt[5]), 0.0),
         _TAG_TIEPOINT: (0.0, 0.0, 0.0, float(gt[0]), float(gt[3]), 0.0),

@@ -57,9 +57,10 @@ def load_device_db(store, lod: int = 0,
     both expose export_device_block / get_world_coordinates.
     """
     desc, xy, valid, _img = store.export_device_block(lod, pad_multiple)
-    has_world = store._elevation is not None and 1 in store._geotransforms
+    world_id = store.world_dataset_id()
+    has_world = store._elevation is not None and world_id is not None
     if has_world:
-        obj = store.get_world_coordinates(1, xy[:, 0], xy[:, 1])
+        obj = store.get_world_coordinates(world_id, xy[:, 0], xy[:, 1])
         obj = np.where(valid[:, None], obj, 0.0).astype(np.float32)
     else:
         obj = np.zeros((len(xy), 3), np.float32)
@@ -212,7 +213,8 @@ def localize_coarse_to_fine(frame, store, camera: CameraModel,
         valid_p[:n] = True
     has_world = coarse_db.has_world
     if has_world and n:
-        obj = store.get_world_coordinates(1, xy_p[:, 0], xy_p[:, 1])
+        obj = store.get_world_coordinates(store.world_dataset_id(),
+                                          xy_p[:, 0], xy_p[:, 1])
         obj = np.where(valid_p[:, None], obj, 0.0).astype(np.float32)
     else:
         obj = np.zeros((m, 3), np.float32)

@@ -106,21 +106,30 @@ class StreamingLocalizer:
         """
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         SENTINEL = object()
+        producer_error: list = []
 
         def producer():
-            for i, f in enumerate(frames):
-                t0 = time.perf_counter()
-                if preprocess is not None:
-                    f = preprocess(f)
-                f = np.asarray(f)
-                if self.transfer_uint8 and f.dtype != np.uint8:
-                    f = np.clip(f * 255.0, 0, 255).astype(np.uint8)
-                arr = jnp.asarray(f)
-                # device_put happens lazily at dispatch; timing the host
-                # side only here.
-                self.times.add("host_preprocess", time.perf_counter() - t0)
-                q.put((i, arr, time.perf_counter()))
-            q.put(SENTINEL)
+            # The sentinel is ALWAYS enqueued (even on producer failure),
+            # so the consumer can't block forever; the exception is
+            # stashed and re-raised on the consumer side.
+            try:
+                for i, f in enumerate(frames):
+                    t0 = time.perf_counter()
+                    if preprocess is not None:
+                        f = preprocess(f)
+                    f = np.asarray(f)
+                    if self.transfer_uint8 and f.dtype != np.uint8:
+                        f = np.clip(f * 255.0, 0, 255).astype(np.uint8)
+                    arr = jnp.asarray(f)
+                    # device_put happens lazily at dispatch; timing the
+                    # host side only here.
+                    self.times.add("host_preprocess",
+                                   time.perf_counter() - t0)
+                    q.put((i, arr, time.perf_counter()))
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                producer_error.append(e)
+            finally:
+                q.put(SENTINEL)
 
         threading.Thread(target=producer, daemon=True).start()
 
@@ -128,6 +137,8 @@ class StreamingLocalizer:
         while True:
             item = q.get()
             if item is SENTINEL:
+                if producer_error:
+                    raise producer_error[0]
                 break
             i, arr, t_enq = item
             t0 = time.perf_counter()

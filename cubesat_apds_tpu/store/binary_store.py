@@ -177,6 +177,22 @@ class BinaryFeatureStore:
     def _geotransforms(self):
         return self.geotransforms
 
+    def world_dataset_id(self) -> Optional[int]:
+        """See FeatureStore.world_dataset_id — same convention."""
+        from cubesat_apds_tpu.store.feature_store import (
+            ELEVATION_DATASET_ID, MOSAIC_DATASET_ID)
+
+        ids = sorted(k for k in self.geotransforms
+                     if k != ELEVATION_DATASET_ID)
+        if not ids:
+            return None
+        if ids != [MOSAIC_DATASET_ID]:
+            raise ValueError(
+                f"ambiguous world mapping: geotransforms registered for "
+                f"datasets {ids}; keypoint coordinates are in the mosaic "
+                f"(dataset {MOSAIC_DATASET_ID}) reference frame only")
+        return MOSAIC_DATASET_ID
+
     def get_world_coordinates(self, dataset_id: int, px, py) -> np.ndarray:
         """pixel → ECEF (elevationdb.rs:64-104 semantics), vectorized."""
         from cubesat_apds_tpu.core import geodesy as G

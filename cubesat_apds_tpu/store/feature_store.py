@@ -36,6 +36,12 @@ from cubesat_apds_tpu.core.config import DESC_BYTES, MAX_POINTS
 _KP_FIELDS = ("x", "y", "size", "angle", "response", "octave", "class_id",
               "image_id")
 
+# Geotransform registry convention (preprocess mirrors the reference's
+# create_geotransform call order, preprocessor main.rs:128-140): the
+# mosaic's transform is dataset 1, the elevation raster's is dataset 2.
+MOSAIC_DATASET_ID = 1
+ELEVATION_DATASET_ID = 2
+
 
 @dataclasses.dataclass
 class ImageRecord:
@@ -176,6 +182,28 @@ class FeatureStore:
 
     def get_geotransform(self, dataset_id: int) -> np.ndarray:
         return self._geotransforms[dataset_id]
+
+    def world_dataset_id(self) -> Optional[int]:
+        """The dataset id whose geotransform maps keypoint reference-frame
+        pixels to world coordinates.
+
+        Keypoint xy are stored in the mosaic reference frame; preprocess
+        registers the mosaic geotransform as dataset 1 and the elevation
+        raster's as dataset 2 (mirroring the reference's create_geotransform
+        call order, elevationdb.rs:21-36 / preprocessor main.rs:128-140).
+        Returns None when no mosaic geotransform exists; raises if extra
+        geotransforms make the keypoint→world mapping ambiguous.
+        """
+        ids = sorted(k for k in self._geotransforms
+                     if k != ELEVATION_DATASET_ID)
+        if not ids:
+            return None
+        if ids != [MOSAIC_DATASET_ID]:
+            raise ValueError(
+                f"ambiguous world mapping: geotransforms registered for "
+                f"datasets {ids}; keypoint coordinates are in the mosaic "
+                f"(dataset {MOSAIC_DATASET_ID}) reference frame only")
+        return MOSAIC_DATASET_ID
 
     def set_elevation(self, raster, gt):
         """add_elevation_data (elevationdb.rs:191-232): full-raster store

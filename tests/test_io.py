@@ -165,6 +165,81 @@ def test_native_tiff_decoder_matches_pil(tmp_path, rng):
     np.testing.assert_array_equal(got, d)
 
 
+def _build_tiff_be_pred2_u16(img: np.ndarray, truncate: bool = False) -> bytes:
+    """Hand-construct a big-endian (MM), deflate, predictor=2, uint16,
+    single-strip TIFF. truncate=True deflates only half the rows while
+    declaring the full height (corrupt-stream case)."""
+    import struct
+    import zlib
+
+    h, w = img.shape
+    # Predictor-2 encoding: per-row horizontal deltas in u16, then >u2.
+    delta = img.astype(np.int64).copy()
+    delta[:, 1:] = img[:, 1:].astype(np.int64) - img[:, :-1].astype(np.int64)
+    raw = delta.astype(">u2").tobytes()
+    if truncate:
+        raw = raw[: (h // 2) * w * 2]
+    comp = zlib.compress(raw)
+
+    entries = []  # (tag, type, count, value)
+    data_off = 8
+    strip_off = None  # patched below
+
+    def entry(tag, typ, count, value):
+        entries.append(struct.pack(">HHI", tag, typ, count) +
+                       struct.pack(">I", value << (16 if typ == 3 and count == 1 else 0)))
+
+    # IFD right after the header, strip data after the IFD.
+    n_entries = 11
+    ifd_off = data_off
+    ifd_size = 2 + n_entries * 12 + 4
+    strip_off = ifd_off + ifd_size
+    entry(256, 3, 1, w)            # width
+    entry(257, 3, 1, h)            # height
+    entry(258, 3, 1, 16)           # bits per sample
+    entry(259, 3, 1, 8)            # compression: deflate
+    entry(262, 3, 1, 1)            # photometric
+    entry(273, 4, 1, strip_off)    # strip offset
+    entry(277, 3, 1, 1)            # samples per pixel
+    entry(278, 3, 1, h)            # rows per strip
+    entry(279, 4, 1, len(comp))    # strip byte count
+    entry(317, 3, 1, 2)            # predictor: horizontal differencing
+    entry(339, 3, 1, 1)            # sample format: uint
+    ifd = struct.pack(">H", n_entries) + b"".join(entries) + \
+        struct.pack(">I", 0)
+    return b"MM\x00\x2a" + struct.pack(">I", ifd_off) + ifd + comp
+
+
+def test_native_big_endian_predictor2(tmp_path, rng):
+    """Big-endian 16-bit predictor-2 files must byte-swap BEFORE the
+    horizontal-differencing accumulation (ADVICE round 1, medium)."""
+    from cubesat_apds_tpu.io.native import read_tiff_native
+
+    img = rng.integers(0, 65535, (19, 23), dtype=np.uint16)
+    p = tmp_path / "be_pred2.tif"
+    p.write_bytes(_build_tiff_be_pred2_u16(img))
+
+    # PIL cross-check (PIL handles MM + predictor 2 correctly).
+    from PIL import Image
+    pil = np.asarray(Image.open(str(p)))
+    np.testing.assert_array_equal(pil, img)
+
+    got = read_tiff_native(str(p))
+    assert got is not None and got.dtype == np.uint16
+    np.testing.assert_array_equal(got, img)
+
+
+def test_native_truncated_deflate_rejected(tmp_path, rng):
+    """A deflate strip that inflates short of rows*row_bytes must fail
+    decode (→ None → PIL fallback), not read uninitialized memory."""
+    from cubesat_apds_tpu.io.native import read_tiff_native
+
+    img = rng.integers(0, 65535, (20, 16), dtype=np.uint16)
+    p = tmp_path / "trunc.tif"
+    p.write_bytes(_build_tiff_be_pred2_u16(img, truncate=True))
+    assert read_tiff_native(str(p)) is None
+
+
 def test_read_geotiff_uses_native_path(tmp_path, rng):
     """read_geotiff pixel output is identical whichever decoder runs."""
     data, gt = _write_tile(tmp_path / "n.tif", rng, 5.0, 7.0)
