@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from cubesat_apds_tpu.ops.geometry.linalg_small import (
     cholesky_solve,
     det3x3,
+    eigh3x3,
+    eigh_smallest,
     lstsq_normal,
     polar_rotation,
 )
@@ -38,7 +40,9 @@ def _control_points(obj, w):
     c0 = jnp.sum(obj * w[:, None], axis=0) / wsum
     centered = (obj - c0) * w[:, None]
     cov = centered.T @ centered / wsum
-    eigval, eigvec = jnp.linalg.eigh(cov)
+    # Custom-call-free 3×3 Jacobi (vmapped over RANSAC hypotheses — the
+    # LAPACK eigh custom-call's fixed overhead dominates at this size).
+    eigval, eigvec = eigh3x3(cov)
     # Scale axes by sqrt of eigenvalues, FLOORED RELATIVE to the largest:
     # planar point sets (the satellite ground-patch case) would otherwise
     # collapse a control point onto the plane and make the barycentric
@@ -150,8 +154,10 @@ def epnp(obj_points, img_points_normalized, weights=None,
     alpha = _barycentric(obj, cw)
     M = _build_M(alpha, uv, w)
     MtM = M.T @ M
-    _, vecs = jnp.linalg.eigh(MtM)
-    V = vecs[:, :4]                                    # 4 smallest eigvecs [12,4]
+    # 4 smallest eigvecs [12,4] via custom-call-free inverse iteration
+    # (PERF.md roadmap: the 12×12 eigh custom-call cost ~0.6 ms/frame at
+    # RANSAC hypothesis batch sizes — measured round 2 A/B).
+    V = eigh_smallest(MtM, 4)
 
     rho = _pairwise_dists(cw) ** 2                     # world control distances²
 

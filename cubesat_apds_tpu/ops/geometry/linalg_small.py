@@ -91,7 +91,140 @@ def lstsq_normal(A, b, damp: float = 1e-9):
     return cholesky_solve(AtA, Atb, damp=damp)
 
 
-def polar_rotation(S, iters: int = 12):
+def eigh3x3(A, iters: int = 4):
+    """Symmetric 3×3 eigendecomposition via unrolled cyclic Jacobi sweeps.
+
+    Replaces the jnp.linalg.eigh custom-call on [..., 3, 3] (e.g. the EPnP
+    control-point covariance, vmapped over RANSAC hypotheses). Returns
+    (eigvals ascending [..., 3], eigvecs as COLUMNS [..., 3, 3]) matching
+    jnp.linalg.eigh's convention. Jacobi is unconditionally stable and
+    handles repeated eigenvalues (the rotation angle is just 0 there).
+    """
+    A = jnp.asarray(A)
+    V = jnp.broadcast_to(jnp.eye(3, dtype=A.dtype), A.shape)
+
+    def rotate(A, V, p, q):
+        app, aqq, apq = A[..., p, p], A[..., q, q], A[..., p, q]
+        # tan(2θ) = 2 a_pq / (a_pp − a_qq); stable half-angle form.
+        tau = (aqq - app) / (2.0 * jnp.where(jnp.abs(apq) < 1e-30, 1e-30, apq))
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(jnp.abs(apq) < 1e-30, 0.0, t)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = t * c
+        # Build the Givens rotation as a full 3×3 (cheap at this size,
+        # keeps everything batched / gather-free).
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=A.dtype), A.shape)
+        hot_pp = jnp.zeros((3, 3), A.dtype).at[p, p].set(1.0)
+        hot_qq = jnp.zeros((3, 3), A.dtype).at[q, q].set(1.0)
+        hot_pq = jnp.zeros((3, 3), A.dtype).at[p, q].set(1.0)
+        hot_qp = jnp.zeros((3, 3), A.dtype).at[q, p].set(1.0)
+        cm1 = (c - 1.0)[..., None, None]
+        sm = s[..., None, None]
+        G = eye + cm1 * (hot_pp + hot_qq) + sm * hot_pq - sm * hot_qp
+        A = jnp.swapaxes(G, -1, -2) @ A @ G
+        V = V @ G
+        return A, V
+
+    for _ in range(iters):
+        for (p, q) in ((0, 1), (0, 2), (1, 2)):
+            A, V = rotate(A, V, p, q)
+    w = jnp.stack([A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]], axis=-1)
+    order = jnp.argsort(w, axis=-1)
+    w_sorted = jnp.take_along_axis(w, order, axis=-1)
+    V_sorted = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    return w_sorted, V_sorted
+
+
+def _mgs_orthonormalize(Q):
+    """Modified Gram-Schmidt on the COLUMNS of [..., n, k] (k small,
+    unrolled). Degenerate columns collapse toward zero and are rescued
+    with a tiny deterministic perturbation before normalization."""
+    n, k = Q.shape[-2], Q.shape[-1]
+    cols = [Q[..., :, j] for j in range(k)]
+    for j in range(k):
+        v = cols[j]
+        for i in range(j):
+            v = v - jnp.sum(cols[i] * v, axis=-1, keepdims=True) * cols[i]
+        norm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+        # Rescue a collapsed direction with a fixed unit vector; MGS of
+        # the NEXT sweep (callers iterate) re-orthogonalizes it.
+        fallback = jnp.zeros((n,), Q.dtype).at[j % n].set(1.0)
+        v = jnp.where(norm < 1e-20, fallback, v / jnp.maximum(norm, 1e-20))
+        cols[j] = v
+    return jnp.stack(cols, axis=-1)
+
+
+def eigh_smallest(A, k: int = 4, iters: int = 3):
+    """k smallest-eigenvalue eigenvectors of symmetric PSD [..., n, n],
+    custom-call-free (damped inverse iteration + small Jacobi
+    Rayleigh-Ritz).
+
+    Replaces jnp.linalg.eigh for the EPnP 12×12 MᵀM nullspace basis
+    (PERF.md roadmap: the eigh custom-call costs ~0.5 ms/frame at RANSAC
+    hypothesis batch sizes). Iterates Q ← (A + εI)⁻¹ Q via the unrolled
+    Cholesky: contamination of the bottom subspace shrinks by
+    (λ_small + ε)/(λ_next + ε) ≈ ε/λ_next per step, so a handful of
+    iterations reach f32 accuracy even from a generic start basis.
+    Returns [..., n, k] with columns ordered by ascending eigenvalue.
+    """
+    A = jnp.asarray(A)
+    n = A.shape[-1]
+    diag_mean = jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1),
+                         axis=-1)[..., None, None]
+    eps = 1e-5 * jnp.maximum(diag_mean, 1e-30)
+    Ad = A + eps * jnp.eye(n, dtype=A.dtype)
+
+    # Deterministic full-rank init (mixes all coordinates so no target
+    # eigvec is orthogonal to the start basis except on a null set).
+    import numpy as _np
+    rng = _np.random.default_rng(12345)
+    Q0 = _np.linalg.qr(rng.standard_normal((n, k)))[0].astype(_np.float32)
+    Q = jnp.broadcast_to(jnp.asarray(Q0, A.dtype), A.shape[:-2] + (n, k))
+
+    for _ in range(iters):
+        Q = cholesky_solve(Ad, Q)
+        Q = _mgs_orthonormalize(Q)
+
+    # Rayleigh-Ritz on A restricted to span(Q): k×k Jacobi.
+    S = jnp.swapaxes(Q, -1, -2) @ (A @ Q)
+    S = 0.5 * (S + jnp.swapaxes(S, -1, -2))
+    w, U = _jacobi_small(S)
+    return Q @ U
+
+
+def _jacobi_small(S, iters: int = 6):
+    """Cyclic Jacobi for symmetric [..., k, k] with k ≤ ~6 (unrolled).
+    Returns (eigvals ascending, eigvecs as columns)."""
+    k = S.shape[-1]
+    V = jnp.broadcast_to(jnp.eye(k, dtype=S.dtype), S.shape)
+    for _ in range(iters):
+        for p in range(k):
+            for q in range(p + 1, k):
+                app, aqq, apq = S[..., p, p], S[..., q, q], S[..., p, q]
+                tau = (aqq - app) / (
+                    2.0 * jnp.where(jnp.abs(apq) < 1e-30, 1e-30, apq))
+                t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+                t = jnp.where(jnp.abs(apq) < 1e-30, 0.0, t)
+                c = 1.0 / jnp.sqrt(1.0 + t * t)
+                s = t * c
+                eye = jnp.broadcast_to(jnp.eye(k, dtype=S.dtype), S.shape)
+                hot_pp = jnp.zeros((k, k), S.dtype).at[p, p].set(1.0)
+                hot_qq = jnp.zeros((k, k), S.dtype).at[q, q].set(1.0)
+                hot_pq = jnp.zeros((k, k), S.dtype).at[p, q].set(1.0)
+                hot_qp = jnp.zeros((k, k), S.dtype).at[q, p].set(1.0)
+                cm1 = (c - 1.0)[..., None, None]
+                sm = s[..., None, None]
+                G = eye + cm1 * (hot_pp + hot_qq) + sm * hot_pq - sm * hot_qp
+                S = jnp.swapaxes(G, -1, -2) @ S @ G
+                V = V @ G
+    w = jnp.diagonal(S, axis1=-2, axis2=-1)
+    order = jnp.argsort(w, axis=-1)
+    w_sorted = jnp.take_along_axis(w, order, axis=-1)
+    V_sorted = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    return w_sorted, V_sorted
+
+
+def polar_rotation(S, iters: int = 8):
     """Nearest rotation to [..., 3, 3] S (det(S) > 0 branch) via Newton
     polar iteration X ← (X + X⁻ᵀ)/2 with determinant-scaling.
 

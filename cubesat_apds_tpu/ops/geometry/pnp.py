@@ -22,6 +22,7 @@ from cubesat_apds_tpu.core.config import PnPConfig
 from cubesat_apds_tpu.core.types import CameraModel, Correspondences, PoseSolution
 from cubesat_apds_tpu.core.camera import pixels_to_normalized
 from cubesat_apds_tpu.ops.geometry.epnp import epnp
+from cubesat_apds_tpu.ops.geometry.linalg_small import cholesky_solve
 from cubesat_apds_tpu.ops.geometry.planar import planar_pose
 from cubesat_apds_tpu.ops.geometry.rodrigues import (
     matrix_to_rodrigues,
@@ -54,8 +55,10 @@ def _gn_refine_pose(rvec, tvec, obj, uv_n, weights, iters: int):
     def body(_, params):
         r = residuals(params)
         J = jax.jacfwd(residuals)(params)
-        JtJ = J.T @ J + 1e-9 * jnp.eye(6, dtype=params.dtype)
-        delta = jnp.linalg.solve(JtJ, J.T @ r)
+        JtJ = J.T @ J
+        # Unrolled Cholesky instead of the linalg.solve custom-call
+        # (JtJ is 6×6 PSD; damping keeps it SPD at degenerate poses).
+        delta = cholesky_solve(JtJ, J.T @ r, damp=1e-9)
         new = params - delta
         ok = jnp.all(jnp.isfinite(new))
         return jnp.where(ok, new, params)
