@@ -7,6 +7,18 @@ homography + PnP pose — the full online localization step, one jit.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is relative to the 100 fps/chip north-star target
 (BASELINE.md: the reference publishes no numbers of its own).
+
+Measurement methodology (tunneled-TPU hardened, round 2):
+  * every iteration perturbs the frame with a distinct on-device scalar
+    (unique per process via time entropy), so no layer — XLA, the axon
+    relay's content-addressed result cache, anything — can ever replay
+    a previous result instead of executing;
+  * jax.block_until_ready is NOT trusted as a fence (it is a no-op for
+    the axon remote backend): a scalar from every iteration's output is
+    chained into one accumulator whose final host fetch FORCES all
+    iterations to have executed;
+  * the single fetch's round-trip latency (~200 ms through the tunnel)
+    is measured separately (median of scalar fetches) and subtracted.
 """
 
 from __future__ import annotations
@@ -76,19 +88,38 @@ def main():
     )
     camera = CameraModel.ideal(500.0, 500.0, 256.0, 256.0)
 
-    def step(f):
-        return localize_frame_jit(f, db, camera, config, solve_pose=True)
+    @jax.jit
+    def step(f, salt):
+        # The ±1e-7 per-iteration salt keeps every execution's inputs
+        # unique (cache-busting) without affecting the workload.
+        r = localize_frame_jit(f + salt * jnp.float32(1e-7), db, camera,
+                               config, solve_pose=True)
+        return (r.homography.num_inliers + r.num_matches
+                + r.pose.num_inliers).astype(jnp.float32)
 
-    # Warmup / compile.
-    out = step(frame)
-    jax.block_until_ready(out)
+    entropy = np.float32(time.time() % 1000.0)
 
-    iters = 50
+    def run(iters, base):
+        acc = None
+        for i in range(iters):
+            o = step(frame, jnp.float32(base + i))
+            acc = o if acc is None else acc + o
+        return float(acc)          # forces every iteration
+
+    run(3, entropy + 10_000.0)     # compile + warmup
+
+    # Median host-fetch round trip (subtracted from the loop time).
+    rtts = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        float(jnp.asarray(np.float32(i)) + jnp.float32(1))
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+
+    iters = 200
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(frame)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    run(iters, entropy)
+    dt = time.perf_counter() - t0 - rtt
     fps = iters / dt
 
     print(json.dumps({

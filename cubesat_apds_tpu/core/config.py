@@ -60,9 +60,23 @@ class AkazeConfig:
     # means over every integer sample of the rotated pattern (441
     # nearest-neighbour samples/keypoint — the TPU gather wall, see
     # PERF.md); "fast" samples each cell ONCE from a blur-matched
-    # pyramid (29 samples/keypoint, ~2× end-to-end throughput) — an
-    # anti-aliased approximation of the same descriptor.
-    descriptor_mode: str = "exact"
+    # pyramid (29 samples/keypoint, ~1.5× end-to-end throughput) — an
+    # anti-aliased approximation of the same descriptor. "fast" is the
+    # DEFAULT since round 2: the 120-scene end-task study
+    # (benchmarks/study_fast_parity.py) measured success 95.8% vs 96.7%
+    # exact with BETTER median corner error (0.92 vs 0.98 px) and 0.81
+    # median inlier-set Jaccard vs exact — see PERF.md. Use "exact" for
+    # reference-faithful sampling; build DB and frames with ONE mode.
+    descriptor_mode: str = "fast"
+    # Orientation sampling: "exact" = the full 109-point disc; "fast" =
+    # a 55-point checkerboard subset (halves the dominant remaining
+    # gather; √2 more noise on the resultant-vector estimate).
+    orientation_mode: str = "exact"
+    # Per-level candidate extraction: "approx" = lax.approx_max_k with
+    # recall_target 0.95 (the TPU-native partial reduce, ~4× cheaper);
+    # "exact" = sort-based lax.top_k (used by the oracle-parity tests to
+    # quantify the approx recall loss — see test_akaze_oracle.py).
+    detect_topk: str = "approx"
     # Keypoint sampling backend for orientation + MLDB: "gather" is the
     # direct point-gather (fastest measured on v5e — TPU gathers are
     # per-index-latency-bound but the one-hot alternative pays more in

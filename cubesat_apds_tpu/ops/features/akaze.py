@@ -58,17 +58,19 @@ def _packed_stack(lt: List[jax.Array], lx: List[jax.Array],
 
 @functools.partial(jax.jit, static_argnames=("config", "capacity"))
 def detect_and_compute(img, config: AkazeConfig = AkazeConfig(),
-                       capacity: int | None = None) -> Features:
+                       capacity: int | None = None,
+                       kcontrast=None) -> Features:
     """img: [H, W] float32 grayscale in [0, 1] → Features.
 
     Keypoints come out response-sorted (strongest first), capacity-padded;
     the cap semantics mirror the reference's max_points = 2^18−1
-    (lib.rs:12-13) at a practical per-tile static capacity.
+    (lib.rs:12-13) at a practical per-tile static capacity. `kcontrast`
+    optionally fixes the diffusion contrast factor (tiled path).
     """
     capacity = capacity or config.capacity
     img = jnp.asarray(img, jnp.float32)
 
-    ss = build_scale_space(img, config)
+    ss = build_scale_space(img, config, kcontrast)
     kps, lx_list, ly_list = detect_keypoints(ss, config, capacity)
 
     packed = _packed_stack(ss.Lt, lx_list, ly_list)
@@ -107,7 +109,8 @@ def detect_and_compute(img, config: AkazeConfig = AkazeConfig(),
 
     angle = compute_orientations(
         packed, level_hw, kps.xy, kps.size, kps.class_id,
-        kps.octave, kps.valid, sample_fn=sample_fn)
+        kps.octave, kps.valid, sample_fn=sample_fn,
+        mode=config.orientation_mode)
     kps = Keypoints(
         xy=kps.xy, size=kps.size, angle=angle, response=kps.response,
         octave=kps.octave, class_id=kps.class_id, valid=kps.valid)
@@ -115,21 +118,32 @@ def detect_and_compute(img, config: AkazeConfig = AkazeConfig(),
     if config.descriptor_mode == "fast":
         from cubesat_apds_tpu.ops.features.mldb import (
             fast_blur_sigmas, mldb_descriptors_fast)
+
         from cubesat_apds_tpu.ops.resample import gaussian_blur
 
         # Per-grid-level blur-matched pyramids: each level has ONE static
         # scale s, so the matched σ per (level, grid) is static too.
-        blur_stacks = []
+        # (Lt, Lx, Ly) are blurred together as one [3, h, w] batch of
+        # DIRECT shift-add blurs. (A multiscale down-blur-up variant —
+        # resample.gaussian_blur_ms — was measured SLOWER end-to-end on
+        # v5e: the interleave/reshape ops at small coarse levels are
+        # latency-bound, while big fused shift-add chains stream on the
+        # VPU. See PERF.md round 2.)
+        base3 = [jnp.stack([ss.Lt[i], lx_list[i], ly_list[i]])
+                 for i in range(len(ss.Lt))]
+        grid_stacks = []
         for g in range(3):
-            lt_b, lx_b, ly_b = [], [], []
-            for i, m in enumerate(ss.meta):
-                sigma = fast_blur_sigmas(m.sigma_size)[g]
-                lt_b.append(gaussian_blur(ss.Lt[i], sigma))
-                lx_b.append(gaussian_blur(lx_list[i], sigma))
-                ly_b.append(gaussian_blur(ly_list[i], sigma))
-            blur_stacks.append(_packed_stack(lt_b, lx_b, ly_b))
+            blurred = [
+                gaussian_blur(base3[i],
+                              fast_blur_sigmas(m.sigma_size)[g])
+                for i, m in enumerate(ss.meta)
+            ]
+            grid_stacks.append(_packed_stack(
+                [b[0] for b in blurred], [b[1] for b in blurred],
+                [b[2] for b in blurred]))
+        combined = jnp.concatenate(grid_stacks, axis=0)  # [3L, H, W, 4]
         desc = mldb_descriptors_fast(
-            blur_stacks, level_hw, kps.xy, kps.size, kps.angle,
+            combined, level_hw, len(ss.Lt), kps.xy, kps.size, kps.angle,
             kps.class_id, kps.octave, kps.valid)
     else:
         desc = mldb_descriptors(
@@ -140,9 +154,158 @@ def detect_and_compute(img, config: AkazeConfig = AkazeConfig(),
 
 
 def detect_and_compute_batch(imgs, config: AkazeConfig = AkazeConfig(),
-                             capacity: int | None = None) -> Features:
+                             capacity: int | None = None,
+                             kcontrast=None) -> Features:
     """vmapped detect_and_compute over a batch of same-shape images
     (the preprocessor's tile batch; replaces the reference's rayon
     fan-out, preprocessor main.rs:227-245)."""
-    fn = functools.partial(detect_and_compute, config=config, capacity=capacity)
+    fn = functools.partial(detect_and_compute, config=config,
+                           capacity=capacity, kcontrast=kcontrast)
     return jax.vmap(fn)(jnp.asarray(imgs, jnp.float32))
+
+
+def detect_and_compute_tiled(img, config: AkazeConfig = AkazeConfig(),
+                             capacity: int | None = None,
+                             tile: int = 1024, overlap: int = 64,
+                             tile_batch: int = 4) -> Features:
+    """AKAZE over images too large for one scale space (≥4096 px: 16
+    level stacks at 8192² would exceed HBM), via overlapping tiles.
+
+    The reference benches extraction to 8192 px in one OpenCV call
+    (benchmarks/benches/feature_extraction.rs:14); the TPU budget
+    instead tiles, with two consistency measures:
+
+      * ONE global contrast factor (computed on a ≤2048px decimated
+        copy) drives every tile's diffusion — per-tile k would make
+        response magnitudes incomparable across tile seams;
+      * tiles overlap and each keypoint is kept only by the tile that
+        OWNS it (overlap-interior ownership bands), so seam duplicates
+        are excluded rather than deduplicated.
+
+    Returns one Features with coordinates in the full-image frame,
+    response-sorted to `capacity` (default config.capacity).
+    """
+    import numpy as np
+
+    from cubesat_apds_tpu.core.types import Keypoints
+    from cubesat_apds_tpu.ops.features.scale_space import compute_k_percentile
+
+    capacity = capacity or config.capacity
+    arr = np.asarray(img, np.float32)
+    H, W = arr.shape
+    if H <= tile and W <= tile:
+        return detect_and_compute(jnp.asarray(arr), config, capacity)
+
+    dec = max(max(H, W) // 2048, 1)
+    kcontrast = compute_k_percentile(
+        jnp.asarray(arr[::dec, ::dec]), config.kcontrast_percentile, 1.0,
+        config.kcontrast_nbins)
+
+    step = tile - overlap
+    xs = list(range(0, max(W - tile, 0), step)) + [max(W - tile, 0)]
+    ys = list(range(0, max(H - tile, 0), step)) + [max(H - tile, 0)]
+
+    def _bounds(offsets, total):
+        # Tile i owns [b[i], b[i+1]); boundaries at the midpoint of each
+        # ACTUAL overlap (edge-shifted last tiles overlap more than
+        # `overlap`), so every keypoint has exactly one owner.
+        b = [-1.0]
+        for i in range(len(offsets) - 1):
+            b.append((offsets[i + 1] + offsets[i] + tile) / 2.0)
+        b.append(total + 1.0)
+        return b
+
+    xb = _bounds(xs, W)
+    yb = _bounds(ys, H)
+    offs = [(xi, yi) for yi in range(len(ys)) for xi in range(len(xs))]
+    per_tile_cap = max(capacity // max(len(offs) // 2, 1), 256)
+
+    parts = []
+    for start in range(0, len(offs), tile_batch):
+        chunk = offs[start:start + tile_batch]
+        batch = np.stack([arr[ys[yi]:ys[yi] + tile, xs[xi]:xs[xi] + tile]
+                          for xi, yi in chunk])
+        if len(chunk) < tile_batch and len(offs) > tile_batch:
+            batch = np.concatenate(
+                [batch, np.zeros((tile_batch - len(chunk), tile, tile),
+                                 np.float32)])
+        feats = detect_and_compute_batch(batch, config, per_tile_cap,
+                                         kcontrast)
+        for bi, (xi, yi) in enumerate(chunk):
+            x, y = xs[xi], ys[yi]
+            kp = feats.keypoints
+            kx = np.asarray(kp.xy[bi, :, 0])
+            ky = np.asarray(kp.xy[bi, :, 1])
+            valid = np.asarray(kp.valid[bi])
+            own = ((kx + x >= xb[xi]) & (kx + x < xb[xi + 1])
+                   & (ky + y >= yb[yi]) & (ky + y < yb[yi + 1]))
+            keep = valid & own
+            parts.append(dict(
+                x=kx + x, y=ky + y,
+                size=np.asarray(kp.size[bi]), angle=np.asarray(kp.angle[bi]),
+                response=np.asarray(kp.response[bi]),
+                octave=np.asarray(kp.octave[bi]),
+                class_id=np.asarray(kp.class_id[bi]),
+                desc=np.asarray(feats.descriptors[bi]), keep=keep))
+
+    allv = {k: np.concatenate([p[k] for p in parts])
+            for k in ("x", "y", "size", "angle", "response", "octave",
+                      "class_id", "keep")}
+    desc = np.concatenate([p["desc"] for p in parts])
+    resp = np.where(allv["keep"], allv["response"], -np.inf)
+    ranked = np.argsort(-resp)
+    # Greedy seam dedup: two tiles can localize the SAME extremum to
+    # sub-pixel positions straddling an ownership boundary (ε apart on
+    # either side), possibly assigned to ADJACENT evolution levels
+    # (border handling shifts the cross-level NMS outcome near seams).
+    # Keep the stronger; drop any later keypoint within 0.5 px whose
+    # level differs by ≤1 — the same adjacency window the in-tile 3-D
+    # NMS suppresses (grid-hash, O(n)).
+    seen: dict = {}
+    order = []
+    for idx in ranked:
+        if not np.isfinite(resp[idx]) or len(order) >= capacity:
+            break
+        gx, gy = allv["x"][idx], allv["y"][idx]
+        lvl = int(allv["class_id"][idx])
+        cell = (int(gx), int(gy))
+        dup = False
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for (ox, oy, olvl) in seen.get(
+                        (cell[0] + dx, cell[1] + dy), ()):
+                    if abs(olvl - lvl) <= 1 and \
+                            (gx - ox) ** 2 + (gy - oy) ** 2 < 0.25:
+                        dup = True
+                        break
+        if dup:
+            continue
+        seen.setdefault((cell[0], cell[1]), []).append((gx, gy, lvl))
+        order.append(idx)
+    order = np.asarray(order, np.int64) if order else np.zeros(0, np.int64)
+    n = len(order)
+    pad = capacity - len(order)
+
+    def take(a, fill=0):
+        out = a[order]
+        if pad:
+            out = np.concatenate([out, np.full(pad, fill, a.dtype)])
+        return out
+
+    valid = np.zeros(capacity, bool)
+    valid[:n] = True
+    xy = np.stack([take(allv["x"]), take(allv["y"])], -1).astype(np.float32)
+    d = desc[order]
+    if pad:
+        d = np.concatenate([d, np.zeros((pad, d.shape[1]), d.dtype)])
+    kps = Keypoints(
+        xy=jnp.asarray(np.where(valid[:, None], xy, 0.0)),
+        size=jnp.asarray(np.where(valid, take(allv["size"]), 0.0)),
+        angle=jnp.asarray(np.where(valid, take(allv["angle"]), 0.0)),
+        response=jnp.asarray(np.where(valid, take(allv["response"]), 0.0)),
+        octave=jnp.asarray(np.where(valid, take(allv["octave"]), 0)),
+        class_id=jnp.asarray(np.where(valid, take(allv["class_id"]), -1)),
+        valid=jnp.asarray(valid),
+    )
+    return Features(keypoints=kps,
+                    descriptors=jnp.asarray(np.where(valid[:, None], d, 0)))

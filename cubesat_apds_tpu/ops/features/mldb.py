@@ -161,17 +161,21 @@ def fast_blur_sigmas(scale: int):
     return [step * scale / np.sqrt(12.0) for step, _ in _CELL_CENTERS]
 
 
-def mldb_descriptors_fast(blur_stacks, level_hw,
+def mldb_descriptors_fast(combined_stack, level_hw, n_levels,
                           xy, size, angle, class_id, octave, valid):
     """Approximate MLDB: cell means = one sample per cell from a
     blur-matched pyramid.
 
-    blur_stacks: list of 3 [L, H, W, C] stacks — stack g blurred with
-    σ = step_g·s_level/√12 per level. 29 samples/keypoint instead of
-    441 (the exact mode); bit layout and comparisons identical.
+    combined_stack: [3·L, H, W, C] — the three per-grid blur-matched
+    stacks (grid g blurred with σ = step_g·s_level/√12 per level)
+    concatenated along the level axis, so ALL 29 samples/keypoint come
+    from ONE gather (TPU gathers are per-index latency-bound, see
+    PERF.md — merging the three per-grid gathers saves two dispatches).
+    29 samples/keypoint instead of 441 (the exact mode); bit layout and
+    comparisons identical.
     """
     K = xy.shape[0]
-    lvl = jnp.clip(class_id, 0, blur_stacks[0].shape[0] - 1)
+    lvl = jnp.clip(class_id, 0, n_levels - 1)
     ratio = jnp.exp2(octave.astype(jnp.float32))
     s = _fround(0.5 * size / ratio).astype(jnp.float32)
     xf = xy[:, 0] / ratio
@@ -183,7 +187,7 @@ def mldb_descriptors_fast(blur_stacks, level_hw,
     ws = level_hw[lvl, 1][:, None]
     lvl_col = lvl[:, None]
 
-    bit_groups = []
+    iy_parts, ix_parts, lvl_parts, counts = [], [], [], []
     for g in range(3):
         _, centers = _CELL_CENTERS[g]
         k_off = jnp.asarray(centers[:, 0])[None, :]
@@ -192,14 +196,26 @@ def mldb_descriptors_fast(blur_stacks, level_hw,
         sy = yf[:, None] + s[:, None] * (k_off * si[:, None] + l_off * co[:, None])
         ix = jnp.clip(_fround(sx), 0, ws - 1)
         iy = jnp.clip(_fround(sy), 0, hs - 1)
-        lvl_b = jnp.broadcast_to(lvl_col, ix.shape)
-        vals = blur_stacks[g][lvl_b, iy, ix].astype(jnp.float32)  # [K,C,3+]
-        di = vals[..., 0]
-        rx = vals[..., 1]
-        ry = vals[..., 2]
-        dx = rx * co[:, None] + ry * si[:, None]
-        dy = -rx * si[:, None] + ry * co[:, None]
-        cell_vals = jnp.stack([di, dx, dy], axis=-1)      # [K, cells, 3]
+        ix_parts.append(ix)
+        iy_parts.append(iy)
+        lvl_parts.append(jnp.broadcast_to(lvl_col + g * n_levels, ix.shape))
+        counts.append(centers.shape[0])
+    iy_all = jnp.concatenate(iy_parts, axis=1)            # [K, 29]
+    ix_all = jnp.concatenate(ix_parts, axis=1)
+    lvl_all = jnp.concatenate(lvl_parts, axis=1)
+    vals = combined_stack[lvl_all, iy_all, ix_all].astype(jnp.float32)
+    di = vals[..., 0]
+    rx = vals[..., 1]
+    ry = vals[..., 2]
+    dx = rx * co[:, None] + ry * si[:, None]
+    dy = -rx * si[:, None] + ry * co[:, None]
+    cell_all = jnp.stack([di, dx, dy], axis=-1)           # [K, 29, 3]
+
+    bit_groups = []
+    off = 0
+    for g in range(3):
+        cell_vals = cell_all[:, off:off + counts[g]]
+        off += counts[g]
         pairs = jnp.asarray(_PAIR_IDX[g])
         vi = cell_vals[:, pairs[:, 0], :]
         vj = cell_vals[:, pairs[:, 1], :]

@@ -21,6 +21,14 @@ _DISC = np.array([(i, j) for i in range(-6, 7) for j in range(-6, 7)
                   if i * i + j * j < 36], np.int32)          # [109, 2]
 _GAUSS_W = np.exp(-(_DISC[:, 0] ** 2 + _DISC[:, 1] ** 2) / (2.0 * 2.5 ** 2)
                   ).astype(np.float32)                        # σ = 2.5
+# Fast mode: checkerboard half of the disc (55 points) — halves the
+# per-keypoint gather count (the dominant remaining gather, PERF.md)
+# while keeping isotropic coverage; the resultant-vector estimate just
+# gets √2 more sampling noise. End-task impact is measured by the
+# fast-vs-exact parity study.
+_FAST_SEL = ((_DISC[:, 0] + _DISC[:, 1]) % 2 == 0)
+_DISC_FAST = _DISC[_FAST_SEL]                                 # [55, 2]
+_GAUSS_W_FAST = _GAUSS_W[_FAST_SEL]
 _N_WINDOWS = 42
 _WINDOW_STARTS = (np.arange(_N_WINDOWS) * 0.15).astype(np.float32)
 
@@ -30,15 +38,16 @@ def _fround(x):
     return jnp.floor(x + 0.5).astype(jnp.int32)
 
 
-def orientation_sample_coords(xy, size, class_id, octave):
-    """Integer sample coordinates (iy, ix) [K, 109] of the orientation
-    disc, in level coordinates (pre-clip)."""
+def orientation_sample_coords(xy, size, class_id, octave, mode="exact"):
+    """Integer sample coordinates (iy, ix) [K, S] of the orientation
+    disc (S=109 exact / 55 fast), in level coordinates (pre-clip)."""
     ratio = jnp.exp2(octave.astype(jnp.float32))
     s = _fround(0.5 * size / ratio).astype(jnp.float32)       # [K]
     xf = xy[:, 0] / ratio
     yf = xy[:, 1] / ratio
-    disc = jnp.asarray(_DISC, jnp.float32)                    # [109, 2]
-    ix = _fround(xf[:, None] + disc[None, :, 0] * s[:, None])  # [K, 109]
+    pattern = _DISC_FAST if mode == "fast" else _DISC
+    disc = jnp.asarray(pattern, jnp.float32)                  # [S, 2]
+    ix = _fround(xf[:, None] + disc[None, :, 0] * s[:, None])  # [K, S]
     iy = _fround(yf[:, None] + disc[None, :, 1] * s[:, None])
     return iy, ix
 
@@ -58,23 +67,25 @@ def gather_sampler(packed_stack, level_hw, lvl):
 
 
 def compute_orientations(packed_stack, level_hw, xy, size, class_id,
-                         octave, valid, sample_fn=None):
+                         octave, valid, sample_fn=None, mode="exact"):
     """Dominant orientation per keypoint.
 
     packed_stack: [L, H, W, C≥3] per-level stack with channels
     (Lt, Lx, Ly, ...). level_hw: [L, 2] int32 actual (h, w) per level.
     xy [K, 2] original-image coords; size [K]; class_id [K] level index;
     octave [K]. sample_fn overrides the sampling backend (one-hot patch
-    sampler from akaze.py; defaults to direct gather).
+    sampler from akaze.py; defaults to direct gather). mode="fast" uses
+    the 55-point checkerboard disc subset.
     Returns angle [K] in [0, 2π).
     """
     lvl = jnp.clip(class_id, 0, packed_stack.shape[0] - 1)
-    iy, ix = orientation_sample_coords(xy, size, class_id, octave)
+    iy, ix = orientation_sample_coords(xy, size, class_id, octave, mode)
     if sample_fn is None:
         sample_fn = gather_sampler(packed_stack, level_hw, lvl)
-    vals = sample_fn(iy, ix)                                  # [K, 109, C]
-    res_x = vals[..., 1] * jnp.asarray(_GAUSS_W)[None, :]
-    res_y = vals[..., 2] * jnp.asarray(_GAUSS_W)[None, :]
+    vals = sample_fn(iy, ix)                                  # [K, S, C]
+    weights = _GAUSS_W_FAST if mode == "fast" else _GAUSS_W
+    res_x = vals[..., 1] * jnp.asarray(weights)[None, :]
+    res_y = vals[..., 2] * jnp.asarray(weights)[None, :]
 
     ang = jnp.arctan2(res_y, res_x)
     ang = jnp.where(ang < 0, ang + 2.0 * jnp.pi, ang)          # [K, 109]

@@ -195,14 +195,21 @@ class ScaleSpace:
     kcontrast: jax.Array
 
 
-def build_scale_space(img, config: AkazeConfig = AkazeConfig()) -> ScaleSpace:
+def build_scale_space(img, config: AkazeConfig = AkazeConfig(),
+                      kcontrast=None) -> ScaleSpace:
     """img: [H, W] float32 in [0, 1] → 16-level nonlinear scale space.
 
     The level loop unrolls at trace time; FED τ schedules are static numpy.
+    `kcontrast` overrides the per-image contrast factor (a traced scalar
+    — the tiled large-image path computes ONE global factor so every
+    tile diffuses consistently, detect_and_compute_tiled).
     """
     meta = evolution_metadata(config)
-    kcontrast0 = compute_k_percentile(
-        img, config.kcontrast_percentile, 1.0, config.kcontrast_nbins)
+    if kcontrast is None:
+        kcontrast0 = compute_k_percentile(
+            img, config.kcontrast_percentile, 1.0, config.kcontrast_nbins)
+    else:
+        kcontrast0 = jnp.asarray(kcontrast, jnp.float32)
 
     Lt_list: List[jax.Array] = []
     Ls_list: List[jax.Array] = []

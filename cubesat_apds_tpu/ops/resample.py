@@ -59,6 +59,49 @@ def lanczos_downsample(img, factor: int, a: int = 3):
     return x.reshape(batch_shape + x.shape[-2:])
 
 
+def _lanczos_matrix_np(in_n: int, out_n: int, a: int = 3):
+    """Dense 1-D Lanczos resampling matrix [out_n, in_n] for ARBITRARY
+    (non-integer) ratios. For downscale the kernel is stretched by the
+    scale factor (standard anti-aliasing, support a·scale per side);
+    border rows renormalize over the in-range taps (PIL convention).
+    """
+    scale = in_n / out_n
+    stretch = max(scale, 1.0)
+    centers = (np.arange(out_n, dtype=np.float64) + 0.5) * scale - 0.5
+    t = (np.arange(in_n, dtype=np.float64)[None, :] - centers[:, None]) / stretch
+    with np.errstate(invalid="ignore", divide="ignore"):
+        w = np.sinc(t) * np.sinc(t / a)
+    w[np.abs(t) >= a] = 0.0
+    w /= w.sum(axis=1, keepdims=True)
+    return w.astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "a"))
+def lanczos_resample(img, out_size, a: int = 3):
+    """Resample [..., H, W] to [..., oh, ow] with Lanczos-a at ANY ratio
+    (integer or not), each axis independent.
+
+    Replaces GDAL's read_as + ResampleAlg::Lanczos to an arbitrary
+    out_size (reference: geotiff_extractor mod.rs:332-343). TPU-native
+    shape: the tap weights depend only on the static (in, out) sizes, so
+    each axis is one dense [out, in] matmul — the whole resample runs on
+    the MXU instead of a gather/conv lowering.
+    """
+    oh, ow = out_size
+    x = jnp.asarray(img, jnp.float32)
+    h, w = x.shape[-2:]
+    if (h, w) == (oh, ow):
+        return x
+    y = x
+    if h != oh:
+        Wr = jnp.asarray(_lanczos_matrix_np(h, oh, a))
+        y = jnp.einsum("ij,...jk->...ik", Wr, y)
+    if w != ow:
+        Wc = jnp.asarray(_lanczos_matrix_np(w, ow, a))
+        y = jnp.einsum("...ij,kj->...ik", y, Wc)
+    return y
+
+
 def _gaussian_kernel_np(sigma: float, radius: int | None = None):
     if radius is None:
         radius = max(int(math.ceil(3.0 * sigma)), 1)
@@ -106,6 +149,72 @@ def gaussian_blur(img, sigma: float, radius: int | None = None):
     x = jnp.asarray(img, jnp.float32)
     x = _shift_filter(x, w, x.ndim - 2, "edge")
     x = _shift_filter(x, w, x.ndim - 1, "edge")
+    return x
+
+
+def _up2_axis(x, axis: int, out_n: int):
+    """Bilinear 2× upsample along `axis`, inverse-aligned with
+    half_sample's 2×2-mean grid (coarse center i ↔ fine 2i+0.5):
+    fine[2i] = 0.25·C[i−1] + 0.75·C[i], fine[2i+1] = 0.75·C[i] + 0.25·C[i+1]
+    (edge-clamped). Crops/edge-pads to out_n."""
+    n = x.shape[axis]
+
+    def sh(delta):
+        pads = [(0, 0)] * x.ndim
+        pads[axis] = (max(-delta, 0), max(delta, 0))
+        xp = jnp.pad(x, pads, mode="edge")
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(max(delta, 0), max(delta, 0) + n)
+        return xp[tuple(sl)]
+
+    even = 0.25 * sh(-1) + 0.75 * x
+    odd = 0.75 * x + 0.25 * sh(1)
+    out = jnp.stack([even, odd], axis=axis + 1)
+    new_shape = list(x.shape)
+    new_shape[axis] = 2 * n
+    out = out.reshape(new_shape)
+    if out.shape[axis] > out_n:
+        sl = [slice(None)] * out.ndim
+        sl[axis] = slice(0, out_n)
+        out = out[tuple(sl)]
+    elif out.shape[axis] < out_n:
+        pads = [(0, 0)] * out.ndim
+        pads[axis] = (0, out_n - out.shape[axis])
+        out = jnp.pad(out, pads, mode="edge")
+    return out
+
+
+def gaussian_blur_ms(img, sigma: float, coarse_sigma_max: float = 2.5):
+    """Multiscale approximate Gaussian blur: large-σ blurs run at reduced
+    resolution (half-sample → blur → bilinear upsample), cutting the
+    shift-add cost from O(σ·H·W) to O(H·W).
+
+    Variance bookkeeping (per 2× round trip at current factor f, in
+    original-image px²): the 2×2 mean contributes 0.25·f² per axis and the
+    bilinear upsample 0.75·f², so each descent consumes 1.0·f² of the σ²
+    budget. The composite kernel is box⊗gaussian⊗tent — within ~1% of a
+    true Gaussian by the time two convolutions have mixed (CLT), which is
+    ample for the fast-descriptor blur-matched pyramids (an anti-aliased
+    cell-mean approximation to begin with; end-task parity is measured by
+    the fast-vs-exact study, see PERF.md)."""
+    x = jnp.asarray(img, jnp.float32)
+    var = float(sigma) * float(sigma)
+    f = 1
+    sizes = []  # shapes to restore on the way back up
+    while (math.sqrt(var) / f > coarse_sigma_max
+           and var - f * f >= (1.6 * f * 2) ** 2 * 0.25):
+        sizes.append(x.shape[-2:])
+        var -= 1.0 * f * f
+        if x.shape[-2] % 2 or x.shape[-1] % 2:
+            pads = [(0, 0)] * (x.ndim - 2) + [(0, x.shape[-2] % 2),
+                                              (0, x.shape[-1] % 2)]
+            x = jnp.pad(x, pads, mode="edge")
+        x = half_sample(x)
+        f *= 2
+    x = gaussian_blur(x, math.sqrt(var) / f)
+    for (h, w) in reversed(sizes):
+        x = _up2_axis(x, x.ndim - 2, h)
+        x = _up2_axis(x, x.ndim - 1, w)
     return x
 
 
