@@ -181,7 +181,7 @@ def detect_keypoints(ss: ScaleSpace, config: AkazeConfig = AkazeConfig(),
         # the weakest candidates. The FINAL cross-level top-K below stays
         # exact, preserving the response-sorted prefix invariant.
         k = min(capacity, h * w)
-        if h * w > 4 * k:
+        if h * w > 4 * k and config.detect_topk == "approx":
             v, flat_idx = jax.lax.approx_max_k(
                 vals.reshape(-1), k, recall_target=0.95)
         else:

@@ -1,0 +1,405 @@
+"""Independent slow AKAZE oracle in pure NumPy/SciPy.
+
+Implemented from the published algorithm — Alcantarilla, Nuevo, Bartoli,
+"Fast Explicit Diffusion for Accelerated Features in Nonlinear Scale
+Spaces" (BMVC 2013) — with the OpenCV parameterization the reference
+invokes (feature_extraction/src/lib.rs:64-73: DESCRIPTOR_MLDB full
+486-bit, 3 channels, threshold 0.001, 4 octaves, 4 sublevels, PM-G2).
+
+This is a VALIDATION oracle for the TPU implementation in
+cubesat_apds_tpu/ops/features/: scalar/ndimage formulations, sequential
+detection, per-keypoint loops — deliberately different code mechanics
+from the vectorized JAX version, so shared bugs are unlikely. Where the
+published algorithm leaves a discretization choice open (kernel radius,
+border handling, tie conventions), this file follows the SAME documented
+choice as the production code (each noted inline) so the comparison
+isolates implementation defects rather than convention mismatches.
+
+Used by test_akaze_oracle.py to pin keypoint-set and descriptor-bit
+agreement goldens (VERDICT round-1 item 3).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from scipy import ndimage
+
+
+# --- Parameters (OpenCV AKAZE defaults as invoked by the reference) ---------
+
+SOFFSET = 1.6
+OCTAVES = 4
+SUBLEVELS = 4
+DERIVATIVE_FACTOR = 1.5
+THRESHOLD = 0.001
+KPERCENTILE = 0.7
+NBINS = 300
+TAU_MAX = 0.25
+PATTERN = 10
+
+
+def fround(x):
+    """Round half away from zero on the positive domain (cv fRound)."""
+    return int(math.floor(x + 0.5))
+
+
+# --- Filters -----------------------------------------------------------------
+
+def gaussian(img, sigma):
+    """Separable Gaussian, replicate border, radius = ceil(3σ) (same
+    discretization choice as ops/resample.py gaussian_blur)."""
+    if sigma <= 0:
+        return img.astype(np.float32)
+    radius = max(int(math.ceil(3.0 * sigma)), 1)
+    xs = np.arange(-radius, radius + 1, dtype=np.float64)
+    w = np.exp(-0.5 * (xs / sigma) ** 2)
+    w /= w.sum()
+    out = ndimage.correlate1d(img.astype(np.float64), w, axis=0,
+                              mode="nearest")
+    out = ndimage.correlate1d(out, w, axis=1, mode="nearest")
+    return out.astype(np.float32)
+
+
+_SCHARR_SMOOTH = np.array([3.0, 10.0, 3.0])
+_SCHARR_DERIV = np.array([-1.0, 0.0, 1.0])
+
+
+def scharr(img, dx):
+    """Unnormalized 3×3 Scharr, mirror border (matches the production
+    pad_mode='reflect', which excludes the edge sample)."""
+    x = img.astype(np.float64)
+    if dx:
+        x = ndimage.correlate1d(x, _SCHARR_SMOOTH, axis=0, mode="mirror")
+        x = ndimage.correlate1d(x, _SCHARR_DERIV, axis=1, mode="mirror")
+    else:
+        x = ndimage.correlate1d(x, _SCHARR_DERIV, axis=0, mode="mirror")
+        x = ndimage.correlate1d(x, _SCHARR_SMOOTH, axis=1, mode="mirror")
+    return x.astype(np.float32)
+
+
+def scharr_scale(img, s, dx, dy):
+    """Scaled Scharr-family derivative: smoothing [norm·(3,10,3)-like] and
+    central difference with taps at {−s, 0, +s} (compute_derivative_kernels
+    semantics, as documented in ops/features/detect.py)."""
+    w = 10.0 / 3.0
+    norm = 1.0 / (2.0 * s * (w + 2.0))
+    ksize = 3 + 2 * (s - 1)
+    smooth = np.zeros(ksize)
+    smooth[0] = norm
+    smooth[ksize // 2] = w * norm
+    smooth[-1] = norm
+    deriv = np.zeros(ksize)
+    deriv[0] = -1.0
+    deriv[-1] = 1.0
+    row = deriv if dy else smooth
+    col = deriv if dx else smooth
+    x = img.astype(np.float64)
+    x = ndimage.correlate1d(x, row, axis=0, mode="mirror")
+    x = ndimage.correlate1d(x, col, axis=1, mode="mirror")
+    return x.astype(np.float32)
+
+
+def half_sample(img):
+    h2, w2 = img.shape[0] // 2, img.shape[1] // 2
+    x = img[: h2 * 2, : w2 * 2].astype(np.float64)
+    return x.reshape(h2, 2, w2, 2).mean(axis=(1, 3)).astype(np.float32)
+
+
+# --- Contrast factor ---------------------------------------------------------
+
+def compute_k_percentile(img):
+    """70th percentile of |∇(G(σ=1)·img)| via a DIRECT 300-bin histogram
+    (the production code recovers the same quantity by bisection)."""
+    smooth = gaussian(img, 1.0)
+    lx = scharr(smooth, dx=True)[1:-1, 1:-1]
+    ly = scharr(smooth, dx=False)[1:-1, 1:-1]
+    modg = np.sqrt(lx * lx + ly * ly)
+    hmax = modg.max()
+    if hmax <= 0:
+        return 0.03
+    vals = modg[modg > 0]
+    npoints = vals.size
+    nthreshold = int(npoints * KPERCENTILE)
+    if nthreshold < 1:
+        return 0.03
+    bins = np.minimum((NBINS * vals / hmax).astype(np.int64), NBINS - 1)
+    hist = np.bincount(bins, minlength=NBINS)
+    csum = np.cumsum(hist)
+    k_bin = int(np.searchsorted(csum, nthreshold, side="left")) + 1
+    return float(hmax * k_bin / NBINS)
+
+
+# --- FED ---------------------------------------------------------------------
+
+def fed_tau(T):
+    """FED τ schedule (Grewenig/Weickert), same published formula."""
+    n = int(math.ceil(math.sqrt(3.0 * T / TAU_MAX + 0.25) - 0.5 - 1e-8))
+    n = max(n, 1)
+    scale = 3.0 * T / (TAU_MAX * n * (n + 1))
+    c = 1.0 / (4.0 * n + 2.0)
+    d = scale * TAU_MAX / 2.0
+    k = np.arange(n)
+    return d / np.cos(np.pi * (2.0 * k + 1.0) * c) ** 2
+
+
+def nld_step(L, g, tau):
+    """Explicit diffusion step, Neumann boundary, per-edge (g_p+g_q)/2
+    conductance — written with padded slices (independent formulation)."""
+    Lp = np.pad(L, 1, mode="edge").astype(np.float64)
+    gp = np.pad(g, 1, mode="edge").astype(np.float64)
+    C = slice(1, -1)
+    E = slice(2, None)
+    W = slice(0, -2)
+    flux = ((gp[C, C] + gp[C, E]) * (Lp[C, E] - Lp[C, C])
+            + (gp[C, C] + gp[C, W]) * (Lp[C, W] - Lp[C, C])
+            + (gp[C, C] + gp[E, C]) * (Lp[E, C] - Lp[C, C])
+            + (gp[C, C] + gp[W, C]) * (Lp[W, C] - Lp[C, C]))
+    return (L + 0.5 * tau * flux).astype(np.float32)
+
+
+# --- Scale space -------------------------------------------------------------
+
+class Level:
+    def __init__(self, octave, sublevel):
+        self.octave = octave
+        self.sublevel = sublevel
+        self.esigma = SOFFSET * 2.0 ** (sublevel / SUBLEVELS + octave)
+        self.etime = 0.5 * self.esigma ** 2
+        self.ratio = 1 << octave
+        self.sigma_size = max(
+            fround(self.esigma * DERIVATIVE_FACTOR / self.ratio), 1)
+        self.border = self.sigma_size * 2 + 1  # same rule as LevelMeta
+        self.Lt = None
+        self.Lsmooth = None
+        self.ldet = None
+        self.lx = None
+        self.ly = None
+
+
+def build_scale_space(img):
+    levels = [Level(o, j) for o in range(OCTAVES) for j in range(SUBLEVELS)]
+    k = compute_k_percentile(img)
+
+    Lt = gaussian(img, SOFFSET)
+    levels[0].Lt = Lt
+    levels[0].Lsmooth = gaussian(Lt, 1.0)
+    kc = k
+    for i in range(1, len(levels)):
+        if levels[i].octave > levels[i - 1].octave:
+            Lt = half_sample(Lt)
+            kc *= 0.75
+        # Lsmooth = σ=1 blur of the PRE-diffusion image (same evolution-
+        # loop ordering as ops/features/scale_space.py:221-233).
+        Lsmooth = gaussian(Lt, 1.0)
+        lx = scharr(Lsmooth, dx=True)
+        ly = scharr(Lsmooth, dx=False)
+        g = (1.0 / (1.0 + (lx * lx + ly * ly) / (kc * kc))).astype(np.float32)
+        for tau in fed_tau(levels[i].etime - levels[i - 1].etime):
+            Lt = nld_step(Lt, g, tau)
+        levels[i].Lt = Lt
+        levels[i].Lsmooth = Lsmooth
+    return levels
+
+
+# --- Detection ---------------------------------------------------------------
+
+def compute_responses(levels):
+    for lv in levels:
+        s = lv.sigma_size
+        lx = scharr_scale(lv.Lsmooth, s, 1, 0)
+        ly = scharr_scale(lv.Lsmooth, s, 0, 1)
+        lxx = scharr_scale(lx, s, 1, 0) * (s * s)
+        lyy = scharr_scale(ly, s, 0, 1) * (s * s)
+        lxy = scharr_scale(lx, s, 0, 1) * (s * s)
+        lv.ldet = lxx * lyy - lxy * lxy
+        lv.lx = lx * s
+        lv.ly = ly * s
+
+
+def detect(levels, max_points=10**9):
+    """Scale-space extrema per the paper: 3×3 spatial maxima above
+    threshold, then suppression against adjacent-level responses within
+    the point's σ footprint; sub-pixel refinement (reject |off| > 1).
+
+    Tie/shape conventions follow the production implementation's
+    documented choices (detect.py): the spatial max allows ties
+    (plateaus yield both pixels); the earlier level wins equal-response
+    cross-level contests; suppression compares against the adjacent
+    level's FULL response map.
+    """
+    compute_responses(levels)
+    n = len(levels)
+    kpts = []
+    for i, lv in enumerate(levels):
+        ldet = lv.ldet
+        h, w = ldet.shape
+        b = lv.border
+        r = max(fround(lv.esigma * DERIVATIVE_FACTOR / lv.ratio), 1)
+        # Candidate mask found vectorized (mechanical step; the per-
+        # candidate suppression below stays sequential/scalar).
+        peak = ldet >= ndimage.maximum_filter(ldet, size=3, mode="nearest")
+        cand = peak & (ldet > THRESHOLD)
+        cand[:b, :] = cand[h - b:, :] = False
+        cand[:, :b] = cand[:, w - b:] = False
+        for y, x in zip(*np.nonzero(cand)):
+            y, x = int(y), int(x)
+            v = ldet[y, x]
+            # Cross-level suppression within radius r (level-i px).
+            dominated = False
+            for j in (i - 1, i + 1):
+                if j < 0 or j >= n:
+                    continue
+                lo = levels[j]
+                sc = lv.ratio / lo.ratio
+                yj = y * sc
+                xj = x * sc
+                rj = max(int(math.ceil(r * sc)), 1)
+                y0 = max(int(math.floor(yj)) - rj, 0)
+                y1 = min(int(math.ceil(yj)) + rj + 1, lo.ldet.shape[0])
+                x0 = max(int(math.floor(xj)) - rj, 0)
+                x1 = min(int(math.ceil(xj)) + rj + 1, lo.ldet.shape[1])
+                if y0 >= y1 or x0 >= x1:
+                    continue
+                other = lo.ldet[y0:y1, x0:x1].max()
+                if (j < i and other >= v) or (j > i and other > v):
+                    dominated = True
+                    break
+            if dominated:
+                continue
+            # Sub-pixel: 2nd-order fit on the 3×3 window.
+            dx1 = 0.5 * (ldet[y, x + 1] - ldet[y, x - 1])
+            dy1 = 0.5 * (ldet[y + 1, x] - ldet[y - 1, x])
+            dxx = ldet[y, x + 1] + ldet[y, x - 1] - 2.0 * v
+            dyy = ldet[y + 1, x] + ldet[y - 1, x] - 2.0 * v
+            dxy = 0.25 * (ldet[y + 1, x + 1] + ldet[y - 1, x - 1]
+                          - ldet[y + 1, x - 1] - ldet[y - 1, x + 1])
+            det = dxx * dyy - dxy * dxy
+            if abs(det) < 1e-12:
+                det = 1e-12
+            offx = -(dyy * dx1 - dxy * dy1) / det
+            offy = -(dxx * dy1 - dxy * dx1) / det
+            if abs(offx) > 1.0 or abs(offy) > 1.0:
+                continue
+            kpts.append(dict(
+                x=(x + offx) * lv.ratio,
+                y=(y + offy) * lv.ratio,
+                response=float(v),
+                level=i,
+                octave=lv.octave,
+                size=lv.esigma * DERIVATIVE_FACTOR,
+            ))
+    kpts.sort(key=lambda p: -p["response"])
+    return kpts[:max_points]
+
+
+# --- Orientation -------------------------------------------------------------
+
+_DISC = [(i, j) for i in range(-6, 7) for j in range(-6, 7)
+         if i * i + j * j < 36]
+
+
+def orientation(kp, levels):
+    """SURF-style dominant orientation: gaussian-weighted derivatives on
+    the radius-6 disc (step = scale), best 60° sliding window (42 starts
+    of 0.15 rad), scalar loops throughout."""
+    lv = levels[kp["level"]]
+    ratio = lv.ratio
+    s = fround(0.5 * kp["size"] / ratio)
+    xf = kp["x"] / ratio
+    yf = kp["y"] / ratio
+    h, w = lv.lx.shape
+    res_x, res_y, ang = [], [], []
+    for (i, j) in _DISC:
+        ix = min(max(fround(xf + i * s), 0), w - 1)
+        iy = min(max(fround(yf + j * s), 0), h - 1)
+        gw = math.exp(-(i * i + j * j) / (2.0 * 2.5 ** 2))
+        rx = gw * lv.lx[iy, ix]
+        ry = gw * lv.ly[iy, ix]
+        res_x.append(rx)
+        res_y.append(ry)
+        a = math.atan2(ry, rx)
+        ang.append(a + 2.0 * math.pi if a < 0 else a)
+    best_mag = -1.0
+    best_angle = 0.0
+    for win in range(42):
+        start = win * 0.15
+        sx = sy = 0.0
+        for k in range(len(_DISC)):
+            rel = ang[k] - start
+            if rel < 0:
+                rel += 2.0 * math.pi
+            if rel < math.pi / 3.0:
+                sx += res_x[k]
+                sy += res_y[k]
+        mag = sx * sx + sy * sy
+        if mag > best_mag:
+            best_mag = mag
+            a = math.atan2(sy, sx)
+            best_angle = a + 2.0 * math.pi if a < 0 else a
+    return best_angle
+
+
+# --- MLDB descriptor ---------------------------------------------------------
+
+def descriptor(kp, levels):
+    """Full 486-bit MLDB: three grids (2×2, 3×3, 4×4) of cell means of
+    (Lt, rotated ∂x, rotated ∂y), all-pairs comparisons channel-major,
+    LSB-first byte packing. Scalar per-cell loops straight from the
+    paper's description."""
+    lv = levels[kp["level"]]
+    ratio = lv.ratio
+    s = float(fround(0.5 * kp["size"] / ratio))
+    xf = kp["x"] / ratio
+    yf = kp["y"] / ratio
+    co = math.cos(kp["angle"])
+    si = math.sin(kp["angle"])
+    h, w = lv.Lt.shape
+
+    bits = []
+    size_mult = [1.0, 2.0 / 3.0, 1.0 / 2.0]
+    for g in range(3):
+        step = int(math.ceil(PATTERN * size_mult[g]))
+        starts = list(range(-PATTERN, PATTERN, step))
+        means = []  # per cell: (di, dx, dy)
+        for ci in starts:
+            for cj in starts:
+                acc = np.zeros(3, np.float64)
+                cnt = 0
+                for k in range(ci, ci + step):
+                    for l in range(cj, cj + step):
+                        sx = xf + s * (k * co - l * si)
+                        sy = yf + s * (k * si + l * co)
+                        ix = min(max(fround(sx), 0), w - 1)
+                        iy = min(max(fround(sy), 0), h - 1)
+                        di = lv.Lt[iy, ix]
+                        rx = lv.lx[iy, ix]
+                        ry = lv.ly[iy, ix]
+                        acc[0] += di
+                        acc[1] += rx * co + ry * si
+                        acc[2] += -rx * si + ry * co
+                        cnt += 1
+                means.append(acc / cnt)
+        n_cells = len(means)
+        for ch in range(3):
+            for a in range(n_cells):
+                for b in range(a + 1, n_cells):
+                    bits.append(1 if means[a][ch] > means[b][ch] else 0)
+    # Regroup: production order is per-grid channel-major — which is what
+    # the loop above already emits (grid outer, channel, then pairs).
+    arr = np.array(bits, np.uint8)
+    return np.packbits(arr, bitorder="little")
+
+
+def detect_and_compute(img, max_points=10**9):
+    """Full oracle pipeline. Returns (keypoints list, descriptors [N,61])."""
+    levels = build_scale_space(np.asarray(img, np.float32))
+    kpts = detect(levels, max_points)
+    descs = []
+    for kp in kpts:
+        kp["angle"] = orientation(kp, levels)
+        descs.append(descriptor(kp, levels))
+    if descs:
+        return kpts, np.stack(descs)
+    return kpts, np.zeros((0, 61), np.uint8)
