@@ -129,17 +129,26 @@ def symmetric_transfer_error(H, src, dst):
 
 @functools.partial(jax.jit, static_argnames=("config", "method"))
 def find_homography_ransac(src, dst, valid=None, config: RansacConfig = RansacConfig(),
-                           key=None, method: str = "ransac") -> HomographyResult:
+                           key=None, method: str = "ransac",
+                           quality=None) -> HomographyResult:
     """Robust homography from fixed-capacity correspondences.
 
     src, dst: [N, 2]; valid: [N] bool mask. Returns HomographyResult whose
     inlier mask matches find_homography_mat's RANSAC mask semantics
     (reference: homographier mod.rs:243-256).
 
-    method: "ransac" (inlier-count scoring) or "lmeds" (least-median-of-
-    squares scoring; inliers from a robust 2.5·MAD-style gate) — the two
-    mask-returning HomographyMethod variants of the reference
-    (mod.rs:25-31, 252-256). Hypothesis generation is shared.
+    method: "ransac" (inlier-count scoring), "lmeds" (least-median-of-
+    squares scoring; inliers from a robust 2.5·MAD-style gate), or "rho"
+    (PROSAC-style progressive sampling, the reference's
+    HomographyMethod::RHO, mod.rs:25-31) — the three mask-returning
+    HomographyMethod variants. For "rho", `quality` [N] ranks the
+    correspondences (LOWER is better, e.g. match Hamming distance);
+    hypothesis h draws its minimal sample from the top-n_h ranked
+    correspondences with n_h growing geometrically from 8 to num_valid —
+    the PROSAC progressive-pool schedule recast as a fixed batch (early
+    hypotheses concentrate on high-confidence matches, the tail converges
+    to uniform RANSAC, preserving its guarantees). Scoring/refinement is
+    shared with "ransac". Without `quality`, "rho" degrades to "ransac".
     """
     src = jnp.asarray(src, jnp.float32)
     dst = jnp.asarray(dst, jnp.float32)
@@ -157,10 +166,28 @@ def find_homography_ransac(src, dst, valid=None, config: RansacConfig = RansacCo
     # [H, N] gumbel materialization + per-row sort. Duplicate indices in
     # a draw yield a rank-deficient DLT whose hypothesis scores ~0 and
     # loses, the standard RANSAC treatment.
-    valid_first = jnp.argsort(~valid).astype(jnp.int32)   # valid prefix
-    r = jax.random.randint(key, (config.num_hypotheses, 4), 0,
-                           jnp.maximum(num_valid, 1))
-    sample_idx = valid_first[r]                            # [H, 4]
+    nh = config.num_hypotheses
+    if method == "rho" and quality is not None:
+        # PROSAC: rank valid correspondences by quality (ascending), and
+        # give hypothesis h a pool of the top n_h, n_h growing
+        # geometrically 8 → num_valid across the batch.
+        q = jnp.where(valid, jnp.asarray(quality, jnp.float32), jnp.inf)
+        ranked = jnp.argsort(q).astype(jnp.int32)          # best-first
+        nv = jnp.maximum(num_valid.astype(jnp.float32), 8.0)
+        grow = jnp.exp2(jnp.linspace(0.0, 1.0, nh)
+                        * jnp.log2(nv / 8.0)) * 8.0        # [H] in [8, nv]
+        pool = jnp.minimum(jnp.ceil(grow), num_valid.astype(jnp.float32))
+        pool = jnp.maximum(pool, jnp.minimum(
+            num_valid.astype(jnp.float32), 8.0)).astype(jnp.int32)  # [H]
+        u = jax.random.uniform(key, (nh, 4))
+        r = jnp.minimum((u * pool[:, None].astype(jnp.float32)).astype(
+            jnp.int32), pool[:, None] - 1)
+        sample_idx = ranked[r]                             # [H, 4]
+    else:
+        valid_first = jnp.argsort(~valid).astype(jnp.int32)   # valid prefix
+        r = jax.random.randint(key, (nh, 4), 0,
+                               jnp.maximum(num_valid, 1))
+        sample_idx = valid_first[r]                            # [H, 4]
 
     s4 = src[sample_idx]                               # [H, 4, 2]
     d4 = dst[sample_idx]

@@ -129,6 +129,42 @@ def test_homography_inlier_agreement(rng):
     assert np.linalg.norm(p_cv - p_us, axis=-1).max() < 1.0
 
 
+def test_homography_rho_agreement(rng):
+    """RHO/PROSAC (HomographyMethod::RHO, homographier mod.rs:25-31):
+    distance-ordered progressive sampling must agree with cv2.RHO."""
+    H_true = np.array([[1.02, -0.05, 10.0], [0.07, 0.95, 5.0],
+                       [-3e-5, 5e-5, 1.0]])
+    n_in, n_out = 140, 60
+    src_in = rng.uniform(0, 500, (n_in, 2)).astype(np.float32)
+    dst_in = np.asarray(apply_homography(jnp.asarray(H_true),
+                                         jnp.asarray(src_in))).astype(np.float32)
+    dst_in = dst_in + rng.normal(0, 0.6, dst_in.shape).astype(np.float32)
+    src_out = rng.uniform(0, 500, (n_out, 2)).astype(np.float32)
+    dst_out = rng.uniform(0, 500, (n_out, 2)).astype(np.float32)
+    src = np.concatenate([src_in, src_out])
+    dst = np.concatenate([dst_in, dst_out])
+    # Quality ranks: inliers mostly better (smaller), as match distances
+    # would be; some overlap to exercise the progressive pool.
+    quality = np.concatenate([rng.uniform(0, 60, n_in),
+                              rng.uniform(30, 100, n_out)]).astype(np.float32)
+
+    H_cv, mask_cv = cv2.findHomography(src, dst, cv2.RHO, 3.0)
+    res = find_homography_ransac(jnp.asarray(src), jnp.asarray(dst),
+                                 method="rho",
+                                 quality=jnp.asarray(quality))
+    inl_us = np.asarray(res.inliers)
+    inl_cv = mask_cv.ravel().astype(bool)
+    agreement = (inl_us == inl_cv).mean()
+    assert agreement >= 0.95, f"inlier agreement {agreement:.3f}"
+    test_pts = rng.uniform(0, 500, (50, 2)).astype(np.float32)
+    p_cv = np.asarray(apply_homography(jnp.asarray(H_cv, jnp.float64),
+                                       jnp.asarray(test_pts)))
+    p_us = np.asarray(apply_homography(jnp.asarray(np.asarray(res.H),
+                                                   jnp.float64),
+                                       jnp.asarray(test_pts)))
+    assert np.linalg.norm(p_cv - p_us, axis=-1).max() < 1.0
+
+
 # --- PnP: pose agreement -------------------------------------------------
 
 def test_pnp_pose_agreement(rng):
