@@ -34,13 +34,16 @@ def _cmd_preprocess(args):
         from cubesat_apds_tpu.ops.image import calculate_amount_of_levels
 
         w, h = ds.get_dimensions()
-        res = min(w, h)
-        n = calculate_amount_of_levels(res)
+        n = calculate_amount_of_levels(w * h)
         print(f"dimensions: {w}x{h}; LoD levels: {n}")
-        r = res
-        while r >= 500:
-            print(f"  lod resolution: {r}")
-            r //= 2
+        # print_resolution (level_of_detail.rs:40-52): halve both edges
+        # while each stays ≥ MINIMUM_RESOLUTION.
+        x, y, lod = w, h, 0
+        while x >= 500 and y >= 500:
+            print(f"  lod: {lod + 1} | x: {x} | y: {y}")
+            x //= 2
+            y //= 2
+            lod += 1
         return 0
     t0 = time.perf_counter()
     store, stats = preprocess(
@@ -65,7 +68,7 @@ def _cmd_localize(args):
 
     from cubesat_apds_tpu.core.config import PipelineConfig
     from cubesat_apds_tpu.core.types import CameraModel
-    from cubesat_apds_tpu.pipelines.localize import localize_frame
+    from cubesat_apds_tpu.pipelines.localize import Localizer
     from cubesat_apds_tpu.store.feature_store import FeatureStore
 
     import os
@@ -76,8 +79,11 @@ def _cmd_localize(args):
         store = BinaryFeatureStore(args.store)
     else:
         store = FeatureStore.load(args.store)
-    with Image.open(args.frame) as im:
-        frame = np.asarray(im.convert("F"), np.float32) / 255.0
+    frames = []
+    for path in args.frame:
+        with Image.open(path) as im:
+            frames.append(np.asarray(im.convert("F"), np.float32) / 255.0)
+    frame = frames[0]
     if args.camera:
         with open(args.camera) as f:
             c = json.load(f)
@@ -90,23 +96,32 @@ def _cmd_localize(args):
         h, w = frame.shape
         camera = CameraModel.ideal(float(max(h, w)), float(max(h, w)),
                                    w / 2.0, h / 2.0)
-    t0 = time.perf_counter()
-    res = localize_frame(frame, store, camera, lod=args.lod)
-    dt = time.perf_counter() - t0
-    out = {
-        "keypoints": int(res.num_keypoints),
-        "matches": int(res.num_matches),
-        "homography_ok": bool(res.homography.ok),
-        "homography": np.asarray(res.homography.H).tolist(),
-        "inliers": int(res.homography.num_inliers),
-        "seconds": round(dt, 3),
-    }
-    if res.pose is not None:
-        out["pose_ok"] = bool(res.pose.ok)
-        out["rvec"] = np.asarray(res.pose.rvec).tolist()
-        out["tvec"] = np.asarray(res.pose.tvec).tolist()
-        out["pose_inliers"] = int(res.pose.num_inliers)
-    print(json.dumps(out, indent=2))
+    # The device DB is exported + uploaded ONCE; every frame reuses it
+    # (Localizer — the serving path; multiple --frame args amortize the
+    # store→device cost).
+    localizer = Localizer(store, camera)
+    results = []
+    for path, frame in zip(args.frame, frames):
+        t0 = time.perf_counter()
+        res = localizer.localize(frame, lod=args.lod)
+        dt = time.perf_counter() - t0
+        out = {
+            "frame": path,
+            "keypoints": int(res.num_keypoints),
+            "matches": int(res.num_matches),
+            "homography_ok": bool(res.homography.ok),
+            "homography": np.asarray(res.homography.H).tolist(),
+            "inliers": int(res.homography.num_inliers),
+            "seconds": round(dt, 3),
+        }
+        if res.pose is not None:
+            out["pose_ok"] = bool(res.pose.ok)
+            out["rvec"] = np.asarray(res.pose.rvec).tolist()
+            out["tvec"] = np.asarray(res.pose.tvec).tolist()
+            out["pose_inliers"] = int(res.pose.num_inliers)
+        results.append(out)
+    print(json.dumps(results[0] if len(results) == 1 else results,
+                     indent=2))
     return 0
 
 
@@ -162,7 +177,8 @@ def main(argv=None):
 
     pl = sub.add_parser("localize", help="frame -> pose")
     pl.add_argument("--store", required=True)
-    pl.add_argument("--frame", required=True)
+    pl.add_argument("--frame", required=True, nargs="+",
+                    help="one or more frames (the device DB loads once)")
     pl.add_argument("--camera", help="camera json (from calibrate)")
     pl.add_argument("--lod", type=int, default=0)
     pl.set_defaults(fn=_cmd_localize)

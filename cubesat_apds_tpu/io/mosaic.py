@@ -51,7 +51,7 @@ class MosaicDataset:
             [xmin, self.px_w, 0.0, ymax, 0.0, self.px_h], np.float64)
         self.width = int(round((xmax - xmin) / self.px_w))
         self.height = int(round((ymin - ymax) / self.px_h))
-        self.n_bands = max(m.bands.shape[0] for m in members)
+        self.n_bands = max(m.n_bands for m in members)
         # Member placement in mosaic pixels.
         self._placement: List[Tuple[int, int]] = []
         for m in members:
@@ -65,11 +65,22 @@ class MosaicDataset:
     # ---- construction (Datasets trait, mod.rs:85-89) -------------------
 
     @classmethod
-    def from_folder(cls, folder: str) -> "MosaicDataset":
-        """import_datasets (mod.rs:130-138): open every TIFF in a folder."""
+    def from_folder(cls, folder: str, lazy: bool = True) -> "MosaicDataset":
+        """import_datasets (mod.rs:130-138): open every TIFF in a folder.
+
+        lazy=True (default) opens members header-only with windowed
+        on-demand decode (LazyGeoRaster) where the native decoder
+        supports the file — mosaics larger than RAM never fully
+        materialize, matching the reference's GDAL-streamed COG access.
+        Unsupported layouts silently fall back to an eager PIL read.
+        """
         paths = list_rasters(folder)
         if not paths:
             raise FileNotFoundError(f"no rasters in {folder}")
+        if lazy:
+            from cubesat_apds_tpu.io.tiff import read_geotiff_lazy
+
+            return cls([read_geotiff_lazy(p) for p in paths])
         return cls([read_geotiff(p) for p in paths])
 
     def get_dimensions(self) -> Tuple[int, int]:
@@ -94,9 +105,10 @@ class MosaicDataset:
             if x0 >= x1 or y0 >= y1:
                 continue
             for bi, b in enumerate(bands):
-                if b - 1 >= m.bands.shape[0]:
+                if b - 1 >= m.n_bands:
                     continue
-                src = m.bands[b - 1, y0 - py:y1 - py, x0 - px:x1 - px]
+                src = m.read_band_window(b - 1, y0 - py, y1 - py,
+                                         x0 - px, x1 - px)
                 dst = out[bi, y0 - y:y1 - y, x0 - x:x1 - x]
                 # Later members only fill holes (VRT first-wins layering).
                 hole = np.isnan(dst)
@@ -109,12 +121,12 @@ class MosaicDataset:
             mins = np.full(self.n_bands, np.inf, np.float32)
             maxs = np.full(self.n_bands, -np.inf, np.float32)
             for m in self.members:
-                for b in range(min(self.n_bands, m.bands.shape[0])):
-                    band = m.bands[b]
-                    if np.isnan(band).all():
+                for b in range(min(self.n_bands, m.n_bands)):
+                    mm = m.band_min_max(b)
+                    if mm is None:
                         continue
-                    mins[b] = min(mins[b], np.nanmin(band))
-                    maxs[b] = max(maxs[b], np.nanmax(band))
+                    mins[b] = min(mins[b], mm[0])
+                    maxs[b] = max(maxs[b], mm[1])
             self._minmax = BandsMinMax(mins=mins, maxs=maxs)
         return self._minmax
 
@@ -127,23 +139,31 @@ class MosaicDataset:
         import jax.numpy as jnp
 
         from cubesat_apds_tpu.ops.image import band_merge_rgba
-        from cubesat_apds_tpu.ops.resample import lanczos_downsample
+        from cubesat_apds_tpu.ops.resample import (
+            lanczos_downsample, lanczos_resample)
 
         x, y = window_xy
         w, h = window_size
         ow, oh = out_size
         raw = self.read_window(x, y, w, h, bands)
-        assert w % ow == 0 and h % oh == 0, (
-            "integer downsample factors only (tile grid guarantees this)")
-        factor = w // ow
         mm = self.datasets_min_max()
         data = jnp.asarray(raw)
-        if factor > 1:
-            # NaN-safe resample: filter validity alongside values.
+        if (w, h) != (ow, oh):
+            # NaN-safe resample: filter validity alongside values. The
+            # integer-factor path keeps the shift-add separable conv;
+            # arbitrary ratios use the dense-matrix Lanczos
+            # (extract_band resamples any window to any out_size,
+            # reference mod.rs:332-343).
             nanmask = jnp.isnan(data)
             filled = jnp.where(nanmask, 0.0, data)
-            wsum = lanczos_downsample(1.0 - nanmask.astype(jnp.float32), factor)
-            vals = lanczos_downsample(filled, factor)
+            vmask = 1.0 - nanmask.astype(jnp.float32)
+            if w % ow == 0 and h % oh == 0 and w // ow == h // oh:
+                factor = w // ow
+                wsum = lanczos_downsample(vmask, factor)
+                vals = lanczos_downsample(filled, factor)
+            else:
+                wsum = lanczos_resample(vmask, (oh, ow))
+                vals = lanczos_resample(filled, (oh, ow))
             data = jnp.where(wsum > 0.5, vals / jnp.maximum(wsum, 1e-6),
                              jnp.nan)
         sel = [b - 1 for b in bands]
@@ -236,13 +256,24 @@ class MosaicDataset:
 
     # ---- materialization (COG equivalent, mod.rs:141-164) --------------
 
-    def materialize(self, path: str):
+    def materialize(self, path: str, chunk_rows: int = 1024):
         """Persist the full mosaic as a binary artifact + manifest — the
-        restart point that DatasetPath::Mosaic resumes from."""
+        restart point that DatasetPath::Mosaic resumes from.
+
+        Writes row chunks into a preallocated memmap (never the whole
+        mosaic in RAM — peak memory is O(chunk_rows·width·bands), the
+        out-of-RAM ingestion path of VERDICT item 4)."""
         os.makedirs(path, exist_ok=True)
-        full = self.read_window(0, 0, self.width, self.height,
-                                bands=tuple(range(1, self.n_bands + 1)))
-        np.save(os.path.join(path, "mosaic.npy"), full)
+        out = np.lib.format.open_memmap(
+            os.path.join(path, "mosaic.npy"), mode="w+", dtype=np.float32,
+            shape=(self.n_bands, self.height, self.width))
+        bands = tuple(range(1, self.n_bands + 1))
+        for y0 in range(0, self.height, chunk_rows):
+            h = min(chunk_rows, self.height - y0)
+            out[:, y0:y0 + h, :] = self.read_window(
+                0, y0, self.width, h, bands=bands)
+        out.flush()
+        del out
         mm = self.datasets_min_max()
         manifest = {
             "version": 1,

@@ -98,30 +98,55 @@ def extract_tiles(img, tile: int, stride: int | None = None):
 
 # --- LoD math (reference: preprocessor/src/level_of_detail.rs) -------------
 
-def calculate_amount_of_levels(resolution: int, minimum: int = 500) -> int:
-    """Number of LoD levels: halve the (sqrt of) resolution until < minimum.
-
-    Reference semantics (level_of_detail.rs:7-14): walk_lod computes
-    log2(sqrt(resolution)/sqrt(minimum)) + 1, i.e. levels while the tile
-    edge stays ≥ sqrt(minimum·area ratio).
+def walk_lod(pixel_coverage: int, tile_resolution: int) -> int:
+    """Levels to walk from `tile_resolution` down to `pixel_coverage`
+    (both AREAS, x·y): ceil(log2(√tile/√coverage)), floored at 0
+    (level_of_detail.rs:12-14; negative logs saturate like the u64 cast).
     """
     import math
 
-    if resolution <= minimum:
-        return 1
-    return int(math.floor(math.log2(math.sqrt(resolution / minimum)))) + 1
+    return max(int(math.ceil(math.log2(
+        math.sqrt(tile_resolution) / math.sqrt(pixel_coverage)))), 0)
+
+
+def calculate_amount_of_levels(reference_image_resolution: int,
+                               tile_resolution: int = 500 * 500) -> int:
+    """Number of LoD levels (level_of_detail.rs:7-9): walk_lod + 1.
+
+    Both arguments are pixel AREAS (x·y). The default tile resolution is
+    MINIMUM_RESOLUTION² (print_resolution halves both edges while each
+    stays ≥ 500, level_of_detail.rs:40-52). Reference golden:
+    calculate_amount_of_levels(1000·1000, 250·250) == 3
+    (level_of_detail.rs:54-61).
+    """
+    return walk_lod(tile_resolution, reference_image_resolution) + 1
 
 
 def lod_tile_grid(width: int, height: int, amount_lod: int):
-    """Per-LoD (tile_size, columns, rows) like downscale_from_lod
-    (preprocessor main.rs:197-246): tile_size = min_dim / 2^(L−1), grid
-    counts per level with 2^lod downsampling."""
+    """Per-LoD rectangular tile grid like downscale_from_lod
+    (preprocessor main.rs:197-246): per-AXIS tile size dim/2^(L−1)
+    (main.rs:212-216 computes tile_size.x and tile_size.y separately),
+    window step = tile·2^lod, grid counts per level.
+
+    Ragged right/bottom remainders get one extra tile whose window is
+    shifted back to end at the mosaic edge (static shapes; the
+    reference's integer grid drops the remainder — fixed, not
+    replicated). Returns per level:
+    (tile_w, tile_h, step_x, step_y, off_x list, off_y list).
+    """
     out = []
-    resolution = min(width, height)
-    tile_size = resolution // (2 ** (amount_lod - 1))
+    tile_w = max(width // (2 ** (amount_lod - 1)), 1)
+    tile_h = max(height // (2 ** (amount_lod - 1)), 1)
     for lod in range(amount_lod):
-        step = tile_size * (2 ** lod)
-        cols = max(width // step, 1)
-        rows = max(height // step, 1)
-        out.append((tile_size, step, cols, rows))
+        step_x = tile_w * (2 ** lod)
+        step_y = tile_h * (2 ** lod)
+        cols = max(width // step_x, 1)
+        rows = max(height // step_y, 1)
+        if cols * step_x < width:
+            cols += 1
+        if rows * step_y < height:
+            rows += 1
+        off_x = [min(c * step_x, max(width - step_x, 0)) for c in range(cols)]
+        off_y = [min(r * step_y, max(height - step_y, 0)) for r in range(rows)]
+        out.append((tile_w, tile_h, step_x, step_y, off_x, off_y))
     return out

@@ -6,10 +6,12 @@ mutexes around GDAL and Postgres (SURVEY.md §3.1 "hot loops"), the TPU
 pipeline batches tiles: host window reads feed a device batch, AKAZE runs
 vmapped over the batch, and store inserts are plain array appends.
 
-LoD math matches level_of_detail.rs exactly: tile_size = min_resolution /
-2^(L−1) (main.rs:212), per-LoD grid of columns×rows (main.rs:215-216),
-keypoint coordinates upscaled to the reference frame as x·2^lod + offset
-(main.rs:296-304).
+LoD math matches level_of_detail.rs: per-AXIS tile size dim/2^(L−1)
+(main.rs:212-216 computes tile_size.x and tile_size.y separately),
+per-LoD grid of columns×rows, keypoint coordinates upscaled to the
+reference frame as x·2^lod + offset (main.rs:296-304). Ragged
+right/bottom strips are covered by edge-shifted tiles (fixing the
+reference's dropped remainder, SURVEY.md §7).
 """
 
 from __future__ import annotations
@@ -23,7 +25,8 @@ import numpy as np
 from cubesat_apds_tpu.core.config import AkazeConfig, PipelineConfig
 from cubesat_apds_tpu.io.mosaic import MosaicDataset
 from cubesat_apds_tpu.ops.features.akaze import detect_and_compute_batch
-from cubesat_apds_tpu.ops.image import calculate_amount_of_levels, rgb_to_gray
+from cubesat_apds_tpu.ops.image import (
+    calculate_amount_of_levels, lod_tile_grid, rgb_to_gray)
 from cubesat_apds_tpu.store.feature_store import FeatureStore
 
 
@@ -49,9 +52,8 @@ def preprocess(
     log = progress or (lambda s: None)
 
     width, height = dataset.get_dimensions()
-    resolution = min(width, height)
     if amount_lod is None:
-        amount_lod = calculate_amount_of_levels(resolution)
+        amount_lod = calculate_amount_of_levels(width * height)
     stats.lods = amount_lod
 
     # Mosaic geotransform is dataset id 1; elevation handling mirrors
@@ -64,23 +66,22 @@ def preprocess(
         store.set_geotransform(2, e.geotransform)
         store.set_elevation(np.nan_to_num(e.bands[0]), e.geotransform)
 
-    # tile_size = resolution / 2^(amount_lod−1)  (main.rs:212)
-    tile_size = resolution // (2 ** (amount_lod - 1))
     cap = config.akaze.capacity
+    grid = lod_tile_grid(width, height, amount_lod)
 
     for lod in range(amount_lod):
-        step = tile_size * (2 ** lod)          # window edge in mosaic px
-        columns = max(width // step, 1)
-        rows = max(height // step, 1)
-        log(f"LoD {lod}: {columns}x{rows} tiles of {step} px -> {tile_size}")
+        tile_w, tile_h, step_x, step_y, off_x, off_y = grid[lod]
+        columns, rows = len(off_x), len(off_y)
+        log(f"LoD {lod}: {columns}x{rows} tiles of {step_x}x{step_y} px "
+            f"-> {tile_w}x{tile_h}")
 
         tiles_meta = [(r, c) for r in range(rows) for c in range(columns)]
         for start in range(0, len(tiles_meta), tile_batch):
             batch_meta = tiles_meta[start:start + tile_batch]
             grays = []
             for r, c in batch_meta:
-                rgba = dataset.to_rgb((c * step, r * step), (step, step),
-                                      (tile_size, tile_size))
+                rgba = dataset.to_rgb((off_x[c], off_y[r]), (step_x, step_y),
+                                      (tile_w, tile_h))
                 grays.append(rgb_to_gray(jnp.asarray(rgba[..., :3])))
             # Pad ragged final batches to the fixed batch width — a new
             # batch shape would trigger a full AKAZE recompile.
@@ -103,7 +104,8 @@ def preprocess(
                 # Tile record in REFERENCE-frame coordinates
                 # (InsertImage, main.rs:280-293).
                 iid = store.create_image(
-                    c * step, r * step, (c + 1) * step, (r + 1) * step, lod)
+                    off_x[c], off_y[r], off_x[c] + step_x, off_y[r] + step_y,
+                    lod)
                 v = valid[bi]
                 n = int(v.sum())
                 if n == 0:
@@ -111,8 +113,8 @@ def preprocess(
                     continue
                 scale = float(2 ** lod)
                 # Coordinate upscale x·2^lod + tile offset (main.rs:296-304).
-                gx = xy[bi, v, 0] * scale + c * step
-                gy = xy[bi, v, 1] * scale + r * step
+                gx = xy[bi, v, 0] * scale + off_x[c]
+                gy = xy[bi, v, 1] * scale + off_y[r]
                 store.add_keypoints(
                     iid, gx, gy, size[bi, v], angle[bi, v],
                     response[bi, v], octave[bi, v], class_id[bi, v],

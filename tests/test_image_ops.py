@@ -62,17 +62,114 @@ def test_rgb_to_gray_range():
 # --- LoD math (reference: preprocessor/src/level_of_detail.rs:54-91) -------
 
 def test_calculate_amount_of_levels():
-    # resolution <= minimum → 1 level
-    assert I.calculate_amount_of_levels(400) == 1
-    assert I.calculate_amount_of_levels(500) == 1
-    # 4x the minimum → one halving of the edge → 2 levels
-    assert I.calculate_amount_of_levels(2000) == 2
-    assert I.calculate_amount_of_levels(8000) == 3
+    # Reference golden (level_of_detail.rs:54-61): areas, not edges.
+    assert I.calculate_amount_of_levels(1000 * 1000, 250 * 250) == 3
+    # Default tile resolution = MINIMUM_RESOLUTION² = 500².
+    assert I.calculate_amount_of_levels(400 * 400) == 1
+    assert I.calculate_amount_of_levels(500 * 500) == 1
+    # print_resolution halves both edges while ≥500: 2000→1000→500 = 3.
+    assert I.calculate_amount_of_levels(2000 * 2000) == 3
+    assert I.calculate_amount_of_levels(8000 * 8000) == 5
+    assert I.walk_lod(250 * 250, 1000 * 1000) == 2
 
 
 def test_lod_tile_grid():
     grid = I.lod_tile_grid(4096, 4096, 3)
     # tile_size = 4096 / 2^2 = 1024 at every level; step doubles per level.
-    assert grid[0] == (1024, 1024, 4, 4)
-    assert grid[1] == (1024, 2048, 2, 2)
-    assert grid[2] == (1024, 4096, 1, 1)
+    assert grid[0][:4] == (1024, 1024, 1024, 1024)
+    assert (len(grid[0][4]), len(grid[0][5])) == (4, 4)
+    assert grid[1][:4] == (1024, 1024, 2048, 2048)
+    assert (len(grid[1][4]), len(grid[1][5])) == (2, 2)
+    assert grid[2][:4] == (1024, 1024, 4096, 4096)
+    assert (len(grid[2][4]), len(grid[2][5])) == (1, 1)
+
+
+def test_lod_tile_grid_rectangular_ragged():
+    # Non-square mosaic (main.rs:212-216 computes per-axis tile sizes):
+    # 3000×1000, 2 LoDs → tile 1500×500.
+    grid = I.lod_tile_grid(3000, 1000, 2)
+    tile_w, tile_h, step_x, step_y, off_x, off_y = grid[0]
+    assert (tile_w, tile_h, step_x, step_y) == (1500, 500, 1500, 500)
+    assert off_x == [0, 1500] and off_y == [0, 500]
+    # Ragged: 3100×1050 at LoD 0 needs edge-shifted extra tiles.
+    grid = I.lod_tile_grid(3100, 1050, 2)
+    tile_w, tile_h, step_x, step_y, off_x, off_y = grid[0]
+    assert (tile_w, tile_h) == (1550, 525)
+    assert off_x == [0, 1550] and off_y == [0, 525]
+    tile_w, tile_h, step_x, step_y, off_x, off_y = grid[1]
+    assert (step_x, step_y) == (3100, 1050)
+    assert off_x == [0] and off_y == [0]
+    # True remainder case: 1000×700 with 1 LoD tile of 300.
+    grid = I.lod_tile_grid(1000, 700, 1)
+    tile_w, tile_h, step_x, step_y, off_x, off_y = grid[0]
+    assert (tile_w, tile_h) == (1000, 700)
+    # Coverage: every pixel column/row falls inside some tile window.
+    grid = I.lod_tile_grid(1030, 520, 2)
+    tile_w, tile_h, step_x, step_y, off_x, off_y = grid[0]
+    assert off_x[-1] + step_x >= 1030 and off_y[-1] + step_y >= 520
+
+
+# --- Lanczos resampling parity vs PIL (extract_band, mod.rs:332-343) --------
+
+def test_lanczos_resample_arbitrary_ratio_matches_pil():
+    from PIL import Image
+
+    from cubesat_apds_tpu.ops.resample import lanczos_resample
+
+    rng = np.random.default_rng(5)
+    img = rng.random((223, 179)).astype(np.float32)
+    for out in [(97, 83), (150, 60), (223, 179)]:
+        ours = np.asarray(lanczos_resample(jnp.asarray(img), out))
+        pil = np.asarray(Image.fromarray(img, mode="F").resize(
+            (out[1], out[0]), Image.LANCZOS), np.float32)
+        # Interior agreement (borders differ by clamp-vs-renormalize).
+        d = np.abs(ours - pil)[2:-2, 2:-2]
+        assert d.max() < 5e-3, f"{out}: max diff {d.max():.5f}"
+
+
+def test_lanczos_resample_upsample_matches_pil():
+    from PIL import Image
+
+    from cubesat_apds_tpu.ops.resample import lanczos_resample
+
+    rng = np.random.default_rng(6)
+    img = rng.random((64, 80)).astype(np.float32)
+    ours = np.asarray(lanczos_resample(jnp.asarray(img), (150, 97)))
+    pil = np.asarray(Image.fromarray(img, mode="F").resize(
+        (97, 150), Image.LANCZOS), np.float32)
+    d = np.abs(ours - pil)[4:-4, 4:-4]
+    assert d.max() < 5e-3, f"max diff {d.max():.5f}"
+
+
+def test_to_rgb_arbitrary_out_size(tmp_path):
+    """MosaicDataset.to_rgb accepts non-integer downsample ratios
+    (reference extract_band resamples any window to any out_size)."""
+    from cubesat_apds_tpu.io.mosaic import MosaicDataset
+    from cubesat_apds_tpu.io.tiff import GeoRaster
+
+    rng = np.random.default_rng(7)
+    bands = rng.random((3, 120, 150)).astype(np.float32)
+    raster = GeoRaster(bands=bands, geotransform=(0, 1, 0, 0, 0, -1),
+                       epsg=4326, nodata=None, path="synthetic")
+    ds = MosaicDataset([raster])
+    rgba = ds.to_rgb((10, 10), (100, 100), (37, 41))
+    assert rgba.shape == (41, 37, 4)
+    assert rgba.dtype == np.uint8
+    assert (rgba[..., 3] == 255).all()
+
+
+def test_gaussian_blur_ms_matches_direct():
+    """Multiscale (down-blur-up) Gaussian ≈ direct Gaussian. Kept as a
+    utility for large-σ blurs on big rasters; the AKAZE fast path uses
+    direct blurs (faster on TPU — see PERF.md round 2)."""
+    from cubesat_apds_tpu.ops.resample import gaussian_blur, gaussian_blur_ms
+
+    rng = np.random.default_rng(1)
+    img = np.asarray(gaussian_blur(jnp.asarray(
+        rng.random((256, 256)).astype(np.float32)), 2.0))
+    for sigma in [2.9, 5.8, 11.5]:
+        a = np.asarray(gaussian_blur(jnp.asarray(img), sigma))
+        b = np.asarray(gaussian_blur_ms(jnp.asarray(img), sigma))
+        d = np.abs(a - b)[20:-20, 20:-20]
+        sig = a[20:-20, 20:-20].std()
+        assert d.mean() < 0.08 * sig, f"σ={sigma}: mean err {d.mean():.5f}"
