@@ -17,6 +17,10 @@
 #include <thread>
 #include <vector>
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
 #include <zlib.h>
 
 namespace {
@@ -42,6 +46,10 @@ struct Reader {
 
 struct Tiff {
   std::vector<uint8_t> file;
+  // mmap-backed open (tiff_open_path): pixels stream from the page cache
+  // instead of a heap copy — the out-of-RAM ingestion path.
+  const uint8_t* map = nullptr;
+  size_t map_len = 0;
   Reader r;
   // Geometry
   uint32_t width = 0, height = 0;
@@ -125,8 +133,12 @@ bool supported(const Tiff& t) {
   return true;
 }
 
-// Decode one chunk (strip or tile) into the destination image.
-bool decode_chunk(const Tiff& t, size_t idx, uint8_t* dst) {
+// Decode one chunk (strip or tile) into a destination WINDOW
+// [wx0, wx0+ww) × [wy0, wy0+wh) of the image; dst has ww×wh pixels.
+// Chunks that do not intersect the window are skipped before any
+// decompression work (the windowed-read fast path).
+bool decode_chunk(const Tiff& t, size_t idx, uint8_t* dst,
+                  uint32_t wx0, uint32_t wy0, uint32_t ww, uint32_t wh) {
   size_t bpp = (t.bits / 8) * t.samples;        // bytes per pixel
   uint32_t tiles_across = t.tiled ? (t.width + t.tile_w - 1) / t.tile_w : 1;
   uint32_t tx = t.tiled ? (idx % tiles_across) : 0;
@@ -136,6 +148,13 @@ bool decode_chunk(const Tiff& t, size_t idx, uint8_t* dst) {
   if (y0 >= t.height) return true;
   uint32_t rows = std::min<uint32_t>(t.tile_h, t.height - y0);
   uint32_t cols = t.tiled ? t.tile_w : t.width;  // tiles are padded
+  // Window intersection (in image coords).
+  uint32_t ix0 = std::max(x0, wx0);
+  uint32_t iy0 = std::max(y0, wy0);
+  uint32_t ix1 = std::min<uint32_t>(x0 + std::min<uint32_t>(cols, t.width - x0),
+                                    wx0 + ww);
+  uint32_t iy1 = std::min<uint32_t>(y0 + rows, wy0 + wh);
+  if (ix0 >= ix1 || iy0 >= iy1) return true;
   size_t row_bytes = size_t(cols) * bpp;
   size_t raw_size = row_bytes * (t.tiled ? t.tile_h : rows);
 
@@ -189,33 +208,83 @@ bool decode_chunk(const Tiff& t, size_t idx, uint8_t* dst) {
     data = pred.data();
   }
 
-  // Copy into destination (crop tile padding at right/bottom edges).
-  size_t img_row_bytes = size_t(t.width) * bpp;
-  uint32_t copy_cols = std::min<uint32_t>(cols, t.width - x0);
-  for (uint32_t y = 0; y < rows; ++y) {
-    std::memcpy(dst + (size_t(y0 + y) * t.width + x0) * bpp,
-                data + size_t(y) * row_bytes, size_t(copy_cols) * bpp);
+  // Copy the window intersection into the destination (tile padding at
+  // right/bottom edges is excluded by the intersection bounds).
+  uint32_t copy_cols = ix1 - ix0;
+  for (uint32_t y = iy0; y < iy1; ++y) {
+    std::memcpy(dst + (size_t(y - wy0) * ww + (ix0 - wx0)) * bpp,
+                data + size_t(y - y0) * row_bytes + size_t(ix0 - x0) * bpp,
+                size_t(copy_cols) * bpp);
   }
-  (void)img_row_bytes;
 
   // Byte-swap multi-byte samples for big-endian files (unless the
   // predictor path already swapped them pre-accumulation).
   if (t.r.swap && t.bits == 16 && !swapped_in_pred) {
-    for (uint32_t y = 0; y < rows; ++y) {
+    for (uint32_t y = iy0; y < iy1; ++y) {
       uint16_t* row = reinterpret_cast<uint16_t*>(
-          dst + (size_t(y0 + y) * t.width + x0) * bpp);
+          dst + (size_t(y - wy0) * ww + (ix0 - wx0)) * bpp);
       for (size_t i = 0; i < size_t(copy_cols) * t.samples; ++i)
         row[i] = __builtin_bswap16(row[i]);
     }
   } else if (t.r.swap && t.bits == 32) {
-    for (uint32_t y = 0; y < rows; ++y) {
+    for (uint32_t y = iy0; y < iy1; ++y) {
       uint32_t* row = reinterpret_cast<uint32_t*>(
-          dst + (size_t(y0 + y) * t.width + x0) * bpp);
+          dst + (size_t(y - wy0) * ww + (ix0 - wx0)) * bpp);
       for (size_t i = 0; i < size_t(copy_cols) * t.samples; ++i)
         row[i] = __builtin_bswap32(row[i]);
     }
   }
   return true;
+}
+
+int fill_info(Tiff* t, int64_t* info_out) {
+  info_out[0] = t->width;
+  info_out[1] = t->height;
+  info_out[2] = t->samples;
+  info_out[3] = t->bits;
+  info_out[4] = t->sample_format;
+  info_out[5] = static_cast<int64_t>(t->offsets.size());
+  info_out[6] = supported(*t) ? 1 : 0;
+  return 0;
+}
+
+// Shared multithreaded window decode over intersecting chunks.
+int decode_window(Tiff* t, uint8_t* out, uint32_t wx0, uint32_t wy0,
+                  uint32_t ww, uint32_t wh, int n_threads) {
+  if (!supported(*t)) return 1;
+  if (wx0 + ww > t->width || wy0 + wh > t->height) return 3;
+  // Collect intersecting chunk indices (geometry only — cheap).
+  uint32_t tiles_across = t->tiled ? (t->width + t->tile_w - 1) / t->tile_w : 1;
+  std::vector<size_t> work;
+  for (size_t i = 0; i < t->offsets.size(); ++i) {
+    uint32_t tx = t->tiled ? (i % tiles_across) : 0;
+    uint32_t ty = t->tiled ? (i / tiles_across) : i;
+    uint32_t cy0 = ty * t->tile_h, cx0 = tx * t->tile_w;
+    if (cy0 >= wy0 + wh || cy0 + t->tile_h <= wy0) continue;
+    if (cx0 >= wx0 + ww || cx0 + (t->tiled ? t->tile_w : t->width) <= wx0)
+      continue;
+    work.push_back(i);
+  }
+  if (n_threads < 1) n_threads = 1;
+  if (static_cast<size_t>(n_threads) > work.size() && !work.empty())
+    n_threads = static_cast<int>(work.size());
+  std::vector<std::thread> threads;
+  std::vector<int> ok(n_threads, 1);
+  size_t per = work.empty() ? 0 : (work.size() + n_threads - 1) / n_threads;
+  for (int w = 0; w < n_threads; ++w) {
+    threads.emplace_back([&, w]() {
+      size_t lo = w * per, hi = std::min(work.size(), lo + per);
+      for (size_t i = lo; i < hi; ++i)
+        if (!decode_chunk(*t, work[i], out, wx0, wy0, ww, wh)) {
+          ok[w] = 0;
+          return;
+        }
+    });
+  }
+  for (auto& th : threads) th.join();
+  for (int w = 0; w < n_threads; ++w)
+    if (!ok[w]) return 2;
+  return 0;
 }
 
 }  // namespace
@@ -233,13 +302,33 @@ void* tiff_open(const uint8_t* data, int64_t n, int64_t* info_out) {
     delete t;
     return nullptr;
   }
-  info_out[0] = t->width;
-  info_out[1] = t->height;
-  info_out[2] = t->samples;
-  info_out[3] = t->bits;
-  info_out[4] = t->sample_format;
-  info_out[5] = static_cast<int64_t>(t->offsets.size());
-  info_out[6] = supported(*t) ? 1 : 0;
+  fill_info(t, info_out);
+  return t;
+}
+
+// mmap-based open: pixels stream from the page cache — windowed reads
+// of mosaics larger than RAM never materialize the whole file.
+void* tiff_open_path(const char* path, int64_t* info_out) {
+  int fd = ::open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size < 8) {
+    ::close(fd);
+    return nullptr;
+  }
+  void* map = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+  ::close(fd);  // mapping keeps its own reference
+  if (map == MAP_FAILED) return nullptr;
+  Tiff* t = new Tiff();
+  t->map = static_cast<const uint8_t*>(map);
+  t->map_len = st.st_size;
+  t->r = Reader{t->map, t->map_len, false};
+  if (!parse(t)) {
+    munmap(const_cast<uint8_t*>(t->map), t->map_len);
+    delete t;
+    return nullptr;
+  }
+  fill_info(t, info_out);
   return t;
 }
 
@@ -247,25 +336,24 @@ void* tiff_open(const uint8_t* data, int64_t n, int64_t* info_out) {
 // natural dtype). Multithreaded over chunks. Returns 0 on success.
 int tiff_decode(void* handle, uint8_t* out, int n_threads) {
   Tiff* t = static_cast<Tiff*>(handle);
-  if (!supported(*t)) return 1;
-  size_t n_chunks = t->offsets.size();
-  if (n_threads < 1) n_threads = 1;
-  std::vector<std::thread> threads;
-  std::vector<int> ok(n_threads, 1);
-  size_t per = (n_chunks + n_threads - 1) / n_threads;
-  for (int w = 0; w < n_threads; ++w) {
-    threads.emplace_back([&, w]() {
-      size_t lo = w * per, hi = std::min(n_chunks, lo + per);
-      for (size_t i = lo; i < hi; ++i)
-        if (!decode_chunk(*t, i, out)) { ok[w] = 0; return; }
-    });
-  }
-  for (auto& th : threads) th.join();
-  for (int w = 0; w < n_threads; ++w)
-    if (!ok[w]) return 2;
-  return 0;
+  return decode_window(t, out, 0, 0, t->width, t->height, n_threads);
 }
 
-void tiff_close(void* handle) { delete static_cast<Tiff*>(handle); }
+// Decode only the [x0, x0+w) × [y0, y0+h) window into out (w*h*samples
+// elements); chunks outside the window are never touched.
+int tiff_decode_window(void* handle, uint8_t* out, int64_t x0, int64_t y0,
+                       int64_t w, int64_t h, int n_threads) {
+  Tiff* t = static_cast<Tiff*>(handle);
+  if (x0 < 0 || y0 < 0 || w <= 0 || h <= 0) return 3;
+  return decode_window(t, out, static_cast<uint32_t>(x0),
+                       static_cast<uint32_t>(y0), static_cast<uint32_t>(w),
+                       static_cast<uint32_t>(h), n_threads);
+}
+
+void tiff_close(void* handle) {
+  Tiff* t = static_cast<Tiff*>(handle);
+  if (t->map) munmap(const_cast<uint8_t*>(t->map), t->map_len);
+  delete t;
+}
 
 }  // extern "C"

@@ -53,6 +53,25 @@ class GeoRaster:
     def width(self) -> int:
         return self.bands.shape[2]
 
+    @property
+    def n_bands(self) -> int:
+        return self.bands.shape[0]
+
+    def read_band_window(self, b: int, y0: int, y1: int,
+                         x0: int, x1: int) -> np.ndarray:
+        """Band b (0-based) window [y0:y1, x0:x1] as float32/NaN-nodata.
+
+        The raster-access protocol shared with LazyGeoRaster — mosaic
+        reads go through this instead of touching .bands directly, so
+        members can be streamed from disk."""
+        return self.bands[b, y0:y1, x0:x1]
+
+    def band_min_max(self, b: int):
+        band = self.bands[b]
+        if np.isnan(band).all():
+            return None
+        return float(np.nanmin(band)), float(np.nanmax(band))
+
     def pixel_to_world(self, px, py):
         gt = self.geotransform
         return (gt[0] + px * gt[1] + py * gt[2],
@@ -66,6 +85,82 @@ class GeoRaster:
         xs = [p[0] for p in pts]
         ys = [p[1] for p in pts]
         return min(xs), min(ys), max(xs), max(ys)
+
+
+class LazyGeoRaster:
+    """A GeoRaster whose pixels stay ON DISK: header-only open (PIL tag
+    read + native mmap handle), windowed decode on demand.
+
+    Implements the same raster-access protocol as GeoRaster
+    (width/height/n_bands/geotransform/read_band_window/band_min_max/
+    pixel_to_world/bounds), so MosaicDataset members can mix eager and
+    lazy rasters — the out-of-RAM ingestion path (the reference streams
+    COG windows via GDAL, mod.rs:141-164,332-343, for the same reason).
+    """
+
+    def __init__(self, path: str, apply_nodata: bool = True,
+                 n_threads: int = 8):
+        from cubesat_apds_tpu.io.native import NativeTiff
+
+        with Image.open(path) as im:
+            tags = dict(im.tag_v2) if hasattr(im, "tag_v2") else {}
+        self._tif = NativeTiff(path, n_threads)   # raises if unsupported
+        self.path = path
+        self.geotransform = _geotransform_from_tags(tags)
+        self.epsg = _epsg_from_geokeys(tags)
+        self.nodata = _nodata_from_tags(tags)
+        self.apply_nodata = apply_nodata
+        self.width = self._tif.width
+        self.height = self._tif.height
+        self.n_bands = self._tif.samples
+        self._minmax: dict = {}
+
+    def read_band_window(self, b: int, y0: int, y1: int,
+                         x0: int, x1: int) -> np.ndarray:
+        win = self._tif.read_window(x0, y0, x1 - x0, y1 - y0)
+        if win.ndim == 3:
+            win = win[..., b]
+        elif b != 0:
+            raise IndexError(f"band {b} of single-band raster")
+        out = win.astype(np.float32)
+        if self.apply_nodata and self.nodata is not None:
+            out[out == self.nodata] = np.nan
+        return out
+
+    def band_min_max(self, b: int, chunk_rows: int = 1024):
+        """Streaming min/max over row chunks (never whole-raster RAM)."""
+        if b not in self._minmax:
+            lo, hi = np.inf, -np.inf
+            for y0 in range(0, self.height, chunk_rows):
+                y1 = min(y0 + chunk_rows, self.height)
+                w = self.read_band_window(b, y0, y1, 0, self.width)
+                if not np.isnan(w).all():
+                    lo = min(lo, float(np.nanmin(w)))
+                    hi = max(hi, float(np.nanmax(w)))
+            self._minmax[b] = None if lo > hi else (lo, hi)
+        return self._minmax[b]
+
+    pixel_to_world = GeoRaster.pixel_to_world
+    bounds = GeoRaster.bounds
+
+    @property
+    def bands(self):
+        raise MemoryError(
+            f"LazyGeoRaster({self.path}) holds no in-RAM bands; use "
+            "read_band_window")
+
+    def close(self):
+        self._tif.close()
+
+
+def read_geotiff_lazy(path: str,
+                      apply_nodata: bool = True) -> "GeoRaster | LazyGeoRaster":
+    """LazyGeoRaster when the native decoder supports the file, else an
+    eager read_geotiff (PIL path)."""
+    try:
+        return LazyGeoRaster(path, apply_nodata)
+    except OSError:
+        return read_geotiff(path, apply_nodata)
 
 
 def _geotransform_from_tags(tags) -> np.ndarray:

@@ -246,3 +246,72 @@ def test_read_geotiff_uses_native_path(tmp_path, rng):
     r = read_geotiff(str(tmp_path / "n.tif"))
     np.testing.assert_array_equal(r.bands.astype(np.uint8),
                                   np.moveaxis(data, -1, 0))
+
+
+# --- Out-of-RAM ingestion (VERDICT r1 item 4): lazy rasters + windows -------
+
+def test_native_windowed_decode_matches_full(tmp_path, rng):
+    from PIL import Image
+
+    from cubesat_apds_tpu.io.native import open_tiff_native
+
+    img = (rng.random((300, 250, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "w.tif"
+    Image.fromarray(img).save(str(p), compression="tiff_deflate")
+    t = open_tiff_native(str(p))
+    assert t is not None
+    np.testing.assert_array_equal(t.read_window(0, 0, 250, 300), img)
+    np.testing.assert_array_equal(
+        t.read_window(37, 51, 100, 120), img[51:171, 37:137])
+    with pytest.raises(ValueError):
+        t.read_window(200, 0, 100, 10)  # out of bounds
+    t.close()
+
+
+def test_lazy_georaster_matches_eager(tmp_path, rng):
+    from cubesat_apds_tpu.io.tiff import read_geotiff_lazy
+
+    _write_tile(tmp_path / "a.tif", rng, 10.0, 56.0, size=96)
+    eager = read_geotiff(str(tmp_path / "a.tif"))
+    lazy = read_geotiff_lazy(str(tmp_path / "a.tif"))
+    assert lazy.width == eager.width and lazy.height == eager.height
+    assert lazy.n_bands == eager.n_bands
+    np.testing.assert_array_equal(lazy.geotransform, eager.geotransform)
+    np.testing.assert_allclose(
+        lazy.read_band_window(0, 5, 60, 7, 80),
+        eager.read_band_window(0, 5, 60, 7, 80))
+    assert lazy.band_min_max(0, chunk_rows=17) == pytest.approx(
+        eager.band_min_max(0))
+    # Pixels are NOT held in RAM.
+    with pytest.raises(MemoryError):
+        _ = lazy.bands
+
+
+def test_mosaic_lazy_members_match_eager(tmp_path, rng):
+    _write_tile(tmp_path / "a.tif", rng, 10.0, 56.0)
+    _write_tile(tmp_path / "b.tif", rng, 10.0 + 64 * 0.5, 56.0)
+    ds_lazy = MosaicDataset.from_folder(str(tmp_path), lazy=True)
+    ds_eager = MosaicDataset.from_folder(str(tmp_path), lazy=False)
+    from cubesat_apds_tpu.io.tiff import LazyGeoRaster
+
+    assert any(isinstance(m, LazyGeoRaster) for m in ds_lazy.members)
+    w1 = ds_lazy.read_window(10, 3, 80, 50)
+    w2 = ds_eager.read_window(10, 3, 80, 50)
+    np.testing.assert_allclose(w1, w2, equal_nan=True)
+    mm1 = ds_lazy.datasets_min_max()
+    mm2 = ds_eager.datasets_min_max()
+    np.testing.assert_allclose(mm1.mins, mm2.mins)
+    np.testing.assert_allclose(mm1.maxs, mm2.maxs)
+
+
+def test_materialize_chunked_matches_unchunked(tmp_path, rng):
+    (tmp_path / "t").mkdir()
+    _write_tile(tmp_path / "t" / "a.tif", rng, 10.0, 56.0)
+    ds = MosaicDataset.from_folder(str(tmp_path / "t"))
+    full = ds.read_window(0, 0, ds.width, ds.height,
+                          bands=tuple(range(1, ds.n_bands + 1)))
+    ds.materialize(str(tmp_path / "m"), chunk_rows=13)  # force many chunks
+    ds2 = MosaicDataset.from_materialized(str(tmp_path / "m"))
+    again = ds2.read_window(0, 0, ds.width, ds.height,
+                            bands=tuple(range(1, ds.n_bands + 1)))
+    np.testing.assert_allclose(full, again, equal_nan=True)
