@@ -2,7 +2,14 @@
 descriptors matched against 1M+ geo-referenced descriptors with tiled
 on-chip top-k search (ops.match.knn2_blockwise streaming merge).
 
-Usage: python benchmarks/bench_large_db.py [--db-size 1048576]
+--sharded additionally runs the multi-chip DB-sharded path
+(parallel.sharded_match over all visible devices; on a 1-chip host this
+exercises the shard_map code with a trivial mesh — run under
+XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu for
+a virtual 8-way mesh, or on a real pod slice for ICI numbers) and
+cross-checks its (d0, i0) against the single-chip result.
+
+Usage: python benchmarks/bench_large_db.py [--db-size 1048576] [--sharded]
 """
 
 from __future__ import annotations
@@ -24,8 +31,17 @@ def main():
     ap.add_argument("--queries", type=int, default=2048)
     ap.add_argument("--block", type=int, default=1 << 16)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--sharded", action="store_true",
+                    help="also bench the mesh-sharded DB path")
     args = ap.parse_args()
 
+    # The axon TPU plugin ignores JAX_PLATFORMS; honour an explicit cpu
+    # request (the virtual-mesh mode in the module docstring) via the
+    # config flag, which it does respect (CLAUDE.md).
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
 
@@ -57,7 +73,41 @@ def main():
         "queries": args.queries,
         "ms": round(dt * 1e3, 2),
         "gcomparisons_per_s": round(comparisons / dt / 1e9, 2),
-    }))
+    }), flush=True)
+
+    if args.sharded:
+        from jax.sharding import Mesh
+        from cubesat_apds_tpu.parallel.sharded_match import make_sharded_knn2
+
+        devs = np.asarray(jax.devices())
+        n_dev = len(devs)
+        mesh = Mesh(devs.reshape(n_dev), ("tp",))
+        pad = (-args.db_size) % n_dev
+        dbb_p = jnp.concatenate(
+            [dbb, jnp.zeros((pad,) + dbb.shape[1:], dbb.dtype)]) \
+            if pad else dbb
+        db_valid = jnp.arange(dbb_p.shape[0]) < args.db_size
+        fn = make_sharded_knn2(mesh, "tp")
+        out_s = fn(qb, dbb_p, db_valid)
+        jax.block_until_ready(out_s)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out_s = fn(qb, dbb_p, db_valid)
+        jax.block_until_ready(out_s)
+        dt_s = (time.perf_counter() - t0) / args.iters
+        # Correctness cross-check vs the single-chip blockwise result.
+        d0_ref, _, i0_ref = (np.asarray(x) for x in out)
+        d0_s, _, i0_s = (np.asarray(x) for x in out_s)
+        agree = float(((d0_s == d0_ref) & (i0_s == i0_ref)).mean())
+        print(json.dumps({
+            "bench": "large_db_knn2_sharded",
+            "devices": n_dev,
+            "db_size": args.db_size,
+            "queries": args.queries,
+            "ms": round(dt_s * 1e3, 2),
+            "gcomparisons_per_s": round(comparisons / dt_s / 1e9, 2),
+            "agrees_with_single_chip": agree,
+        }), flush=True)
 
 
 if __name__ == "__main__":

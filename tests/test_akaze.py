@@ -188,3 +188,43 @@ def test_fast_descriptor_mode(rng):
     qp, tp = matched_points(f1.keypoints.xy, f2.keypoints.xy, m)
     disp = np.asarray(tp)[ok] - np.asarray(qp)[ok]
     np.testing.assert_allclose(np.median(disp, axis=0), [6, 6], atol=1.0)
+
+
+def test_detect_and_compute_tiled_matches_monolithic(rng):
+    """Tiled extraction (the ≥4096px path): full-frame coordinates,
+    no seam duplicates, and keypoint agreement with the monolithic
+    pipeline away from tile seams."""
+    from scipy.spatial import cKDTree
+
+    from cubesat_apds_tpu.ops.features.akaze import detect_and_compute_tiled
+
+    img = _corners_img(rng, n=384, k=30)
+    mono = detect_and_compute(jnp.asarray(img), CFG)
+    tiled = detect_and_compute_tiled(img, CFG, tile=256, overlap=64,
+                                     tile_batch=2)
+
+    mv = np.asarray(mono.keypoints.valid)
+    tv = np.asarray(tiled.keypoints.valid)
+    mxy = np.asarray(mono.keypoints.xy)[mv]
+    txy = np.asarray(tiled.keypoints.xy)[tv]
+    assert tv.sum() > 0
+    # All tiled keypoints inside the image frame.
+    assert (txy[:, 0] >= 0).all() and (txy[:, 0] < 384).all()
+    assert (txy[:, 1] >= 0).all() and (txy[:, 1] < 384).all()
+    # No seam duplicates: no pair within 0.1 px at the SAME or adjacent
+    # evolution level. (Co-located keypoints ≥2 levels apart are
+    # legitimate multi-scale AKAZE output — the 3-D NMS only suppresses
+    # adjacent levels — so they are excluded from this check.)
+    tlvl = np.asarray(tiled.keypoints.class_id)[tv]
+    d, nn = cKDTree(txy).query(txy, k=2)
+    close = d[:, 1] <= 0.1
+    assert (np.abs(tlvl[close] - tlvl[nn[close, 1]]) >= 2).all()
+    # Strong monolithic keypoints away from seams are recovered.
+    resp = np.asarray(mono.keypoints.response)[mv]
+    strong = resp > np.percentile(resp, 50)
+    seam = np.abs(mxy[:, 0] - 192) < 40
+    seam |= np.abs(mxy[:, 1] - 192) < 40
+    probe = mxy[strong & ~seam]
+    if len(probe):
+        d, _ = cKDTree(txy).query(probe, k=1)
+        assert (d < 1.0).mean() > 0.9, f"recovered {(d < 1.0).mean():.2f}"
