@@ -112,11 +112,20 @@ def find_chessboard_corners(img, nx: int, ny: int, capacity: int = 256):
     cand_valid = cand_valid & (cand_v > 0.1 * v_max)
 
     # --- Initial 4-corner estimate: extremes along the two diagonals. ---
+    # Restricted to STRONG candidates: board-boundary pseudo-saddles
+    # (where dark squares abut a background of the light-square shade —
+    # locally indistinguishable in balance) survive the loose gate but
+    # respond ≤ ~0.19·max on perspective-warped boards, vs ≥ 0.75·max
+    # for true inner corners (measured across warped synthetic boards).
+    # They sit OUTSIDE the grid, so an extreme pick that includes them
+    # wrecks the homography init; the snap below still uses the loose
+    # set (dim-but-true corners remain snappable).
+    strong = cand_valid & (cand_v > 0.3 * v_max)
     big = jnp.float32(1e9)
-    score_tl = jnp.where(cand_valid, cand_xy[:, 0] + cand_xy[:, 1], big)
-    score_br = jnp.where(cand_valid, cand_xy[:, 0] + cand_xy[:, 1], -big)
-    score_tr = jnp.where(cand_valid, cand_xy[:, 0] - cand_xy[:, 1], -big)
-    score_bl = jnp.where(cand_valid, cand_xy[:, 0] - cand_xy[:, 1], big)
+    score_tl = jnp.where(strong, cand_xy[:, 0] + cand_xy[:, 1], big)
+    score_br = jnp.where(strong, cand_xy[:, 0] + cand_xy[:, 1], -big)
+    score_tr = jnp.where(strong, cand_xy[:, 0] - cand_xy[:, 1], -big)
+    score_bl = jnp.where(strong, cand_xy[:, 0] - cand_xy[:, 1], big)
     p_tl = cand_xy[jnp.argmin(score_tl)]
     p_br = cand_xy[jnp.argmax(score_br)]
     p_tr = cand_xy[jnp.argmax(score_tr)]

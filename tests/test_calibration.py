@@ -126,3 +126,31 @@ def test_chessboard_not_found_on_blank():
     img = jnp.full((240, 320), 0.5, jnp.float32)
     _, found = find_chessboard_corners(img, NX, NY)
     assert not bool(found)
+
+
+def test_chessboard_detection_perspective_warps():
+    """Boards are NEVER axis-aligned in real calibration imagery: the
+    detector must recover grids under perspective (cv2 handles these;
+    found round 2 via the TPU CLI drive — boundary pseudo-saddles broke
+    the 4-corner initialization, chessboard.py `strong` gate)."""
+    rng = np.random.default_rng(5)
+    base = _render_board(H=400, W=440, cell=40, bx=60, by=60)
+    n_found = 0
+    for k in range(6):
+        jitter = rng.uniform(-0.12, 0.12, (4, 2)) * [440, 400]
+        src = np.array([[0, 0], [440, 0], [440, 400], [0, 400]],
+                       np.float64) + jitter
+        dst = np.array([[0, 0], [440, 0], [440, 400], [0, 400]], np.float64)
+        A, b = [], []
+        for (x, y), (u, v) in zip(dst, src):
+            A.append([x, y, 1, 0, 0, 0, -u * x, -u * y]); b.append(u)
+            A.append([0, 0, 0, x, y, 1, -v * x, -v * y]); b.append(v)
+        coeffs = np.linalg.solve(np.array(A), np.array(b))
+        from PIL import Image
+        warped = Image.fromarray((base * 255).astype(np.uint8)).transform(
+            (440, 400), Image.PERSPECTIVE, coeffs, Image.BICUBIC,
+            fillcolor=int(0.9 * 255))
+        img = np.asarray(warped, np.float32) / 255.0
+        corners, found = find_chessboard_corners(jnp.asarray(img), NX, NY)
+        n_found += bool(found)
+    assert n_found >= 5, f"only {n_found}/6 warped boards detected"
