@@ -227,8 +227,17 @@ def epnp(obj_points, img_points_normalized, weights=None,
     errs = jnp.stack(errs)
     errs = jnp.where(jnp.isfinite(errs), errs, jnp.inf)
     best = jnp.argmin(errs)
-    ok = jnp.isfinite(errs[best])
-    return Rs[best], ts[best], ok
+    R_best = Rs[best]
+    # Validity requires an actual ROTATION: the fast polar-iteration
+    # Procrustes can diverge on degenerate (near-affine/collinear)
+    # samples and return a scaled non-rigid map — which can still
+    # reproject many points at ill-conditioned geometry and win RANSAC
+    # scoring, only to be destroyed by the Rodrigues round trip
+    # (observed: a det=136 "rotation" winning with 42 inliers).
+    ortho_err = jnp.max(jnp.abs(R_best.T @ R_best - jnp.eye(3, dtype=R_best.dtype)))
+    ok = jnp.isfinite(errs[best]) & (ortho_err < 0.1) & \
+        (jnp.abs(det3x3(R_best) - 1.0) < 0.5)
+    return R_best, ts[best], ok
 
 
 def epnp_rvec_tvec(obj_points, img_points_normalized, weights=None):

@@ -8,6 +8,7 @@ iterations compile to pure fused VPU arithmetic instead.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -125,9 +126,16 @@ def eigh3x3(A, iters: int = 4):
         V = V @ G
         return A, V
 
-    for _ in range(iters):
+    # Sweeps roll through lax.fori_loop (static rotation targets inside
+    # the body): unrolling them produced graphs deep enough to crash
+    # XLA's executable serializer (stack overflow) and slow compiles.
+    def sweep(_, carry):
+        A, V = carry
         for (p, q) in ((0, 1), (0, 2), (1, 2)):
             A, V = rotate(A, V, p, q)
+        return (A, V)
+
+    A, V = jax.lax.fori_loop(0, iters, sweep, (A, V))
     w = jnp.stack([A[..., 0, 0], A[..., 1, 1], A[..., 2, 2]], axis=-1)
     order = jnp.argsort(w, axis=-1)
     w_sorted = jnp.take_along_axis(w, order, axis=-1)
@@ -181,9 +189,9 @@ def eigh_smallest(A, k: int = 4, iters: int = 3):
     Q0 = _np.linalg.qr(rng.standard_normal((n, k)))[0].astype(_np.float32)
     Q = jnp.broadcast_to(jnp.asarray(Q0, A.dtype), A.shape[:-2] + (n, k))
 
-    for _ in range(iters):
-        Q = cholesky_solve(Ad, Q)
-        Q = _mgs_orthonormalize(Q)
+    Q = jax.lax.fori_loop(
+        0, iters,
+        lambda _, q: _mgs_orthonormalize(cholesky_solve(Ad, q)), Q)
 
     # Rayleigh-Ritz on A restricted to span(Q): k×k Jacobi.
     S = jnp.swapaxes(Q, -1, -2) @ (A @ Q)
@@ -197,7 +205,9 @@ def _jacobi_small(S, iters: int = 6):
     Returns (eigvals ascending, eigvecs as columns)."""
     k = S.shape[-1]
     V = jnp.broadcast_to(jnp.eye(k, dtype=S.dtype), S.shape)
-    for _ in range(iters):
+
+    def sweep(_, carry):
+        S, V = carry
         for p in range(k):
             for q in range(p + 1, k):
                 app, aqq, apq = S[..., p, p], S[..., q, q], S[..., p, q]
@@ -217,6 +227,9 @@ def _jacobi_small(S, iters: int = 6):
                 G = eye + cm1 * (hot_pp + hot_qq) + sm * hot_pq - sm * hot_qp
                 S = jnp.swapaxes(G, -1, -2) @ S @ G
                 V = V @ G
+        return (S, V)
+
+    S, V = jax.lax.fori_loop(0, iters, sweep, (S, V))
     w = jnp.diagonal(S, axis1=-2, axis2=-1)
     order = jnp.argsort(w, axis=-1)
     w_sorted = jnp.take_along_axis(w, order, axis=-1)
@@ -233,11 +246,9 @@ def polar_rotation(S, iters: int = 8):
     degenerate hypothesis (returns the polar orthogonal factor, det −1,
     which scores poorly downstream).
     """
-    X = S
     # Scale for convergence: divide by an estimate of the spectral norm.
     norm = jnp.sqrt(jnp.sum(S * S, axis=(-2, -1), keepdims=True) / 3.0)
     X = S / jnp.where(norm < 1e-20, 1e-20, norm)
-    for _ in range(iters):
-        Xinv_t = jnp.swapaxes(inv3x3(X), -1, -2)
-        X = 0.5 * (X + Xinv_t)
-    return X
+    return jax.lax.fori_loop(
+        0, iters,
+        lambda _, x: 0.5 * (x + jnp.swapaxes(inv3x3(x), -1, -2)), X)

@@ -16,6 +16,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from cubesat_apds_tpu.ops.geometry.homography import dlt_homography_solve
+from cubesat_apds_tpu.ops.geometry.linalg_small import eigh3x3, lstsq_normal
 
 
 def planar_pose(obj_points, img_points_normalized, weights=None):
@@ -35,7 +36,7 @@ def planar_pose(obj_points, img_points_normalized, weights=None):
     c = jnp.sum(obj * w[:, None], axis=0) / wsum
     centered = (obj - c) * jnp.sqrt(w)[:, None]
     cov = centered.T @ centered / wsum
-    _, eigvec = jnp.linalg.eigh(cov)
+    _, eigvec = eigh3x3(cov)   # custom-call-free (vmapped in RANSAC)
     # In-plane axes = two largest eigenvectors; E: world → plane coords.
     e1 = eigvec[:, 2]
     e2 = eigvec[:, 1]
@@ -66,4 +67,95 @@ def planar_pose(obj_points, img_points_normalized, weights=None):
     R = Rp @ E.T
     t_full = t - R @ c
     ok = jnp.all(jnp.isfinite(R)) & jnp.all(jnp.isfinite(t_full))
+    return R, t_full, ok
+
+
+def ortho_pose(obj_points, img_points_normalized, weights=None):
+    """Weak-perspective (scaled-orthographic / POS) pose.
+
+    The nadir-looking satellite limit: when scene depth ≪ camera
+    distance, the image is an AFFINE function of the world points and
+    every perspective minimal solver degenerates (the true camera sits
+    near infinity; an exact map crop of a geo-referenced mosaic is this
+    limit exactly). Fit uv ≈ A·X + b by weighted least squares, read the
+    pose out of the affine map: A = [r₁; r₂]/t_z, b = [t_x, t_y]/t_z.
+    Attitude (the mission output) comes out well-conditioned; range
+    (t_z) is the 1/scale estimate. Competes in solve_pnp_ransac's
+    scoring; the Gauss-Newton polish restores full perspective.
+    """
+    obj = jnp.asarray(obj_points)
+    uv = jnp.asarray(img_points_normalized, obj.dtype)
+    n = obj.shape[0]
+    w = jnp.ones((n,), obj.dtype) if weights is None else \
+        jnp.asarray(weights, obj.dtype)
+
+    wsum = jnp.maximum(jnp.sum(w), 1e-12)
+    c = jnp.sum(obj * w[:, None], axis=0) / wsum
+    # Fit in the PCA PLANE basis: for (near-)planar scenes the affine
+    # map's normal-direction coefficients are unobservable — a naive
+    # 3-D fit fills them with damped-least-squares noise and wrecks the
+    # pose (planar-POS degeneracy). Everything observable lives in the
+    # [e1, e2] span; the rotation's out-of-plane components come back
+    # from orthonormality below.
+    centered = (obj - c) * jnp.sqrt(w)[:, None]
+    cov = centered.T @ centered / wsum
+    _, eigvec = eigh3x3(cov)
+    e1 = eigvec[:, 2]
+    e2 = eigvec[:, 1]
+    nrm = jnp.cross(e1, e2)
+    p2 = jnp.stack([(obj - c) @ e1, (obj - c) @ e2], axis=-1)   # [n, 2]
+    X = jnp.concatenate([p2, jnp.ones((n, 1), obj.dtype)], axis=1)
+    sw = jnp.sqrt(w)[:, None]
+    coef_u = lstsq_normal(X * sw, uv[:, 0] * sw[:, 0])           # [3]
+    coef_v = lstsq_normal(X * sw, uv[:, 1] * sw[:, 0])
+    a1p = coef_u[:2]
+    a2p = coef_v[:2]
+    b = jnp.stack([coef_u[2], coef_v[2]])
+
+    # Scaled-orthographic closed form for a planar scene (Oberkampf
+    # POSIT / IPPE family): rows r_i = (a_ip/s, c_i) in the plane frame
+    # with |r_i| = 1, r1·r2 = 0 ⇒ s² is the larger root of
+    # s⁴ − (g11+g22)s² + (g11·g22 − g12²) = 0.
+    g11 = jnp.dot(a1p, a1p)
+    g22 = jnp.dot(a2p, a2p)
+    g12 = jnp.dot(a1p, a2p)
+    disc = jnp.sqrt(jnp.maximum((g11 - g22) ** 2 + 4.0 * g12 * g12, 0.0))
+    s2 = 0.5 * (g11 + g22 + disc)
+    s2 = jnp.maximum(s2, 1e-24)
+    s = jnp.sqrt(s2)
+    c1 = jnp.sqrt(jnp.maximum(1.0 - g11 / s2, 0.0))
+    c2m = jnp.sqrt(jnp.maximum(1.0 - g22 / s2, 0.0))
+    c2 = jnp.where(c1 > 1e-9, -g12 / (s2 * jnp.maximum(c1, 1e-20)),
+                   c2m)
+
+    def pose(c1s, c2s):
+        r1 = (a1p[0] * e1 + a1p[1] * e2) / s + c1s * nrm
+        r2 = (a2p[0] * e1 + a2p[1] * e2) / s + c2s * nrm
+        # Orthonormalize residual numeric drift.
+        r1 = r1 / jnp.maximum(jnp.linalg.norm(r1), 1e-20)
+        r2 = r2 - jnp.dot(r1, r2) * r1
+        r2 = r2 / jnp.maximum(jnp.linalg.norm(r2), 1e-20)
+        r3 = jnp.cross(r1, r2)
+        R = jnp.stack([r1, r2, r3], axis=0)
+        tz = 1.0 / s
+        t = jnp.concatenate([b * tz, jnp.asarray([tz], obj.dtype)]) \
+            - R @ c
+        return R, t
+
+    # The planar-POS mirror ambiguity: keep the candidate with the
+    # lower weighted perspective reprojection error.
+    def werr(R, t):
+        cam = obj @ R.T + t
+        z = jnp.where(jnp.abs(cam[:, 2]) < 1e-12, 1e-12, cam[:, 2])
+        uv_hat = cam[:, :2] / z[:, None]
+        e = jnp.sum((uv_hat - uv) ** 2, axis=-1)
+        e = jnp.where(cam[:, 2] <= 0, 1e12, e)
+        return jnp.sum(e * w)
+
+    Ra, ta = pose(c1, c2)
+    Rb, tb = pose(-c1, -c2)
+    use_b = werr(Rb, tb) < werr(Ra, ta)
+    R = jnp.where(use_b, Rb, Ra)
+    t_full = jnp.where(use_b, tb, ta)
+    ok = jnp.all(jnp.isfinite(R)) & jnp.all(jnp.isfinite(t_full)) & (s > 0)
     return R, t_full, ok

@@ -23,7 +23,7 @@ from cubesat_apds_tpu.core.types import CameraModel, Correspondences, PoseSoluti
 from cubesat_apds_tpu.core.camera import pixels_to_normalized
 from cubesat_apds_tpu.ops.geometry.epnp import epnp
 from cubesat_apds_tpu.ops.geometry.linalg_small import cholesky_solve
-from cubesat_apds_tpu.ops.geometry.planar import planar_pose
+from cubesat_apds_tpu.ops.geometry.planar import ortho_pose, planar_pose
 from cubesat_apds_tpu.ops.geometry.rodrigues import (
     matrix_to_rodrigues,
     rodrigues_to_matrix,
@@ -86,6 +86,18 @@ def solve_pnp_ransac(corr: Correspondences, camera: CameraModel,
     vf = valid.astype(jnp.float32)
     num_valid = jnp.sum(valid.astype(jnp.int32))
 
+    # Normalize the world frame to zero-centroid / unit-RMS: projection
+    # is invariant to cam → cam/s, so solving with (obj − c)/s and
+    # mapping t back as s·t_n − R·c is exact — and keeps the f32 solvers
+    # conditioned for satellite geometry (ECEF-scale translations ~1e7 m
+    # against ~1e3 m point spreads starve EPnP's nullspace resolution).
+    c_obj = jnp.sum(obj * vf[:, None], axis=0) / jnp.maximum(jnp.sum(vf), 1.0)
+    centered = (obj - c_obj) * vf[:, None]
+    scale = jnp.sqrt(jnp.sum(centered * centered)
+                     / jnp.maximum(jnp.sum(vf), 1.0))
+    scale = jnp.maximum(scale, 1e-12)
+    obj = (obj - c_obj) / scale
+
     # Normalized-coordinate threshold: pixel threshold / focal length.
     f_avg = 0.5 * (camera.K[0, 0] + camera.K[1, 1])
     thr2 = (config.reproj_threshold / f_avg) ** 2
@@ -112,6 +124,16 @@ def solve_pnp_ransac(corr: Correspondences, camera: CameraModel,
     ts = ts.reshape(-1, 3)
     oks = oks.reshape(-1)
 
+    # One GLOBAL weak-perspective hypothesis from all valid points: in
+    # the nadir-looking (near-affine) limit every perspective minimal
+    # sample degenerates, while the affine fit is exact — it competes in
+    # the same scoring and simply loses when perspective is strong or
+    # outliers corrupt the global fit.
+    R_o, t_o, ok_o = ortho_pose(obj, uv_n, vf)
+    Rs = jnp.concatenate([Rs, R_o[None]], axis=0)
+    ts = jnp.concatenate([ts, t_o[None]], axis=0)
+    oks = jnp.concatenate([oks, ok_o[None]], axis=0)
+
     err = _reproj_err_normalized(Rs, ts, obj, uv_n)    # [H, N]
     inl = (err < thr2) & valid[None, :]
     scores = jnp.where(oks, jnp.sum(inl, axis=-1), -1)
@@ -124,7 +146,8 @@ def solve_pnp_ransac(corr: Correspondences, camera: CameraModel,
     w_inl = inliers.astype(jnp.float32)
     n_best = jnp.sum(inliers)
     for refit in (lambda: epnp(obj, uv_n, w_inl),
-                  lambda: planar_pose(obj, uv_n, w_inl)):
+                  lambda: planar_pose(obj, uv_n, w_inl),
+                  lambda: ortho_pose(obj, uv_n, w_inl)):
         R_fit, t_fit, fit_ok = refit()
         n_fit = jnp.sum(
             (_reproj_err_normalized(R_fit, t_fit, obj, uv_n) < thr2) & valid)
@@ -133,9 +156,19 @@ def solve_pnp_ransac(corr: Correspondences, camera: CameraModel,
         t_best = jnp.where(use_fit, t_fit, t_best)
         n_best = jnp.where(use_fit, n_fit, n_best)
 
-    rvec = matrix_to_rodrigues(R_best)
-    rvec, tvec = _gn_refine_pose(rvec, t_best, obj, uv_n, w_inl,
-                                 config.refine_iters)
+    rvec0 = matrix_to_rodrigues(R_best)
+    rvec_gn, tvec_gn = _gn_refine_pose(rvec0, t_best, obj, uv_n, w_inl,
+                                       config.refine_iters)
+    # The Gauss-Newton polish can DIVERGE on ill-conditioned (near-
+    # affine) geometry; keep it only when it does not lose inliers.
+    n_gn = jnp.sum((_reproj_err_normalized(
+        rodrigues_to_matrix(rvec_gn), tvec_gn, obj, uv_n) < thr2) & valid)
+    n_pre = jnp.sum((_reproj_err_normalized(
+        R_best, t_best, obj, uv_n) < thr2) & valid)
+    keep_gn = jnp.all(jnp.isfinite(rvec_gn)) & \
+        jnp.all(jnp.isfinite(tvec_gn)) & (n_gn >= n_pre)
+    rvec = jnp.where(keep_gn, rvec_gn, rvec0)
+    tvec = jnp.where(keep_gn, tvec_gn, t_best)
     R_final = rodrigues_to_matrix(rvec)
     err_final = _reproj_err_normalized(R_final, tvec, obj, uv_n)
     inliers = (err_final < thr2) & valid
@@ -143,6 +176,8 @@ def solve_pnp_ransac(corr: Correspondences, camera: CameraModel,
     # Reference errors out below 4 points (mod.rs:328-339); we report ok.
     ok = (num_valid >= 4) & (num_inl >= 4) & jnp.all(jnp.isfinite(rvec)) & \
         jnp.all(jnp.isfinite(tvec))
+    # Undo the world-frame normalization: cam ∝ R·obj_orig + t_world.
+    tvec = scale * tvec - R_final @ c_obj
     return PoseSolution(rvec=rvec, tvec=tvec, inliers=inliers,
                         num_inliers=num_inl, ok=ok)
 
@@ -155,6 +190,12 @@ def solve_pnp(corr: Correspondences, camera: CameraModel,
     pix = jnp.asarray(corr.img_points, jnp.float32)
     uv_n = pixels_to_normalized(pix, camera)
     w = corr.valid.astype(jnp.float32)
+    # Same world-frame normalization as solve_pnp_ransac (see there).
+    c_obj = jnp.sum(obj * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    centered = (obj - c_obj) * w[:, None]
+    scale = jnp.maximum(jnp.sqrt(jnp.sum(centered * centered)
+                                 / jnp.maximum(jnp.sum(w), 1.0)), 1e-12)
+    obj = (obj - c_obj) / scale
     R, t, ok = epnp(obj, uv_n, w)
     Rp, tp, okp = planar_pose(obj, uv_n, w)
     err_e = jnp.sum(jnp.where(jnp.isfinite(_reproj_err_normalized(R, t, obj, uv_n)),
@@ -167,6 +208,7 @@ def solve_pnp(corr: Correspondences, camera: CameraModel,
     ok = ok | okp
     rvec = matrix_to_rodrigues(R)
     rvec, tvec = _gn_refine_pose(rvec, t, obj, uv_n, w, refine_iters)
+    tvec = scale * tvec - rodrigues_to_matrix(rvec) @ c_obj
     num_valid = jnp.sum(corr.valid.astype(jnp.int32))
     return PoseSolution(
         rvec=rvec, tvec=tvec, inliers=corr.valid,
