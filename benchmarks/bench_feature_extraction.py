@@ -55,6 +55,10 @@ def main():
     from cubesat_apds_tpu.ops.features.akaze import (
         detect_and_compute, detect_and_compute_tiled)
 
+    # Unique per process: remote result caches must never replay a
+    # previous run's execution (see bench.py "Measurement methodology").
+    entropy = np.float32(time.time() % 1000.0)
+
     for size in (int(s) for s in args.sizes.split(",")):
         cfg = AkazeConfig(capacity=min(args.capacity, size * size // 16))
         tiled = size > args.tile_threshold
@@ -62,29 +66,44 @@ def main():
         if tiled:
             img_np = synth_satellite(size)
 
-            def run():
-                # Host-merged tiles: the result is already fetched.
-                return detect_and_compute_tiled(
-                    img_np, cfg, tile=1024, overlap=64, tile_batch=4)
+            def run(iters):
+                # Host-merged tiles: results are fetched inherently.
+                t0 = time.perf_counter()
+                for i in range(iters):
+                    out = detect_and_compute_tiled(
+                        img_np + np.float32((entropy + i) * 1e-7), cfg,
+                        tile=1024, overlap=64, tile_batch=4)
+                return time.perf_counter() - t0, out
+
+            run(1)  # compile + warmup
+            dt, out = run(iters)
+            dt /= iters
+            n_kp = int(out.keypoints.count())
         else:
             img = jnp.asarray(synth_satellite(size))
 
-            def run():
-                out = detect_and_compute(img, cfg)
-                jax.block_until_ready(jax.tree_util.tree_leaves(out))
-                return out
+            @jax.jit
+            def step(f, salt):
+                out = detect_and_compute(f + salt * jnp.float32(1e-7), cfg)
+                return out, (out.descriptors.astype(jnp.int32).sum()
+                             + out.keypoints.response.sum())
 
-        out = run()                       # compile + warmup
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = run()
-        dt = (time.perf_counter() - t0) / iters
+            out, acc = step(img, jnp.float32(entropy + 10000.0))
+            float(acc)  # compile + warmup incl. fetch
+            t0 = time.perf_counter()
+            acc_total = None
+            for i in range(iters):
+                out, acc = step(img, jnp.float32(entropy + i))
+                acc_total = acc if acc_total is None else acc_total + acc
+            float(acc_total)  # forces every execution
+            dt = (time.perf_counter() - t0) / iters
+            n_kp = int(out.keypoints.count())
         print(json.dumps({
             "bench": "akaze_extract",
             "size": size,
             "tiled": tiled,
             "ms": round(dt * 1e3, 3),
-            "keypoints": int(out.keypoints.count()),
+            "keypoints": n_kp,
         }), flush=True)
 
 

@@ -132,10 +132,18 @@ class MosaicDataset:
 
     def to_rgb(self, window_xy: Tuple[int, int], window_size: Tuple[int, int],
                out_size: Tuple[int, int],
-               bands: Sequence[int] = (1, 2, 3)) -> np.ndarray:
+               bands: Sequence[int] = (1, 2, 3),
+               max_pixels: int = 1 << 24) -> np.ndarray:
         """Windowed RGBA8 read (to_rgb, mod.rs:241-269): read bands,
         Lanczos-downsample to out_size, min-max normalize + gamma, NaN→
-        alpha 0. Resample + merge run on device (jit)."""
+        alpha 0. Resample + merge run on device (jit).
+
+        Windows above `max_pixels` (top-LoD tiles can span the WHOLE
+        mosaic) are processed in overlapping out-tile chunks so peak
+        memory stays O(max_pixels) — the out-of-RAM path; chunk interiors
+        are bit-identical to the monolithic resample (the sub-windows are
+        offset by exact multiples of the stride, and the Lanczos margin
+        is cropped)."""
         import jax.numpy as jnp
 
         from cubesat_apds_tpu.ops.image import band_merge_rgba
@@ -145,6 +153,10 @@ class MosaicDataset:
         x, y = window_xy
         w, h = window_size
         ow, oh = out_size
+        if (w * h > max_pixels and w % ow == 0 and h % oh == 0
+                and w // ow == h // oh and w // ow > 1):
+            return self._to_rgb_chunked(x, y, w, h, ow, oh, bands,
+                                        max_pixels)
         raw = self.read_window(x, y, w, h, bands)
         mm = self.datasets_min_max()
         data = jnp.asarray(raw)
@@ -169,6 +181,35 @@ class MosaicDataset:
         sel = [b - 1 for b in bands]
         rgba = band_merge_rgba(data, mm.mins[sel], mm.maxs[sel])
         return np.asarray(rgba)
+
+    def _to_rgb_chunked(self, x, y, w, h, ow, oh, bands, max_pixels):
+        """Bounded-memory to_rgb for integer factors: overlapping out
+        tiles with a Lanczos-support margin (cropped after resampling)."""
+        factor = w // ow
+        margin = 4  # out px; ≥ ceil(ceil(3·factor)/factor) for Lanczos-3
+        # Budget is window PIXELS per chunk; divide by band count so the
+        # decoded f32 block stays ~max_pixels·4 bytes total.
+        per_band = max(max_pixels // max(len(bands), 1), 1 << 20)
+        t_out = max(int(per_band ** 0.5) // factor - 2 * margin, 32)
+        out = np.empty((oh, ow, 4), np.uint8)
+        for oy0 in range(0, oh, t_out):
+            oy1 = min(oy0 + t_out, oh)
+            for ox0 in range(0, ow, t_out):
+                ox1 = min(ox0 + t_out, ow)
+                px0 = (ox0 - margin) * factor
+                py0 = (oy0 - margin) * factor
+                pw = (ox1 - ox0 + 2 * margin) * factor
+                ph = (oy1 - oy0 + 2 * margin) * factor
+                # read_window fills out-of-extent areas with NaN, which
+                # the NaN-safe resample treats exactly like the
+                # monolithic path's zero-pad (0 value, 0 weight).
+                tile = self.to_rgb((x + px0, y + py0), (pw, ph),
+                                   (ox1 - ox0 + 2 * margin,
+                                    oy1 - oy0 + 2 * margin), bands,
+                                   max_pixels=1 << 62)
+                out[oy0:oy1, ox0:ox1] = tile[margin:margin + (oy1 - oy0),
+                                             margin:margin + (ox1 - ox0)]
+        return out
 
     def get_world_coordinates(self, px: float, py: float):
         """pixel → (lon, lat, height) using the attached elevation raster

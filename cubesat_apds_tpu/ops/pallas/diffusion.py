@@ -8,8 +8,9 @@ whole cycle: 2 HBM transits total regardless of step count.
 
 Whole-image kernel (no spatial grid): diffusion is a 4-neighbour stencil
 with a sequential dependency across steps, so tiling would force halo
-exchanges per step. Images up to ~1024² f32 (L + g + scratch ≈ 12 MB)
-fit VMEM on v5e; larger inputs fall back to the XLA path.
+exchanges per step. Images up to ~870k px f32 (measured footprint
+~18 B/px vs the 16 MB v5e scoped-VMEM limit) run fused; larger inputs
+(e.g. 1024² preprocessor tiles at octave 0) fall back to the XLA path.
 """
 
 from __future__ import annotations
@@ -23,7 +24,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+# Measured kernel footprint: the v5e compiler reports ~18.5 MB of scoped
+# VMEM for a 1024² f32 image (L + g + scratch + out + stencil temps ≈
+# 4.6 buffers) against a 16 MB limit — so the budget is expressed in
+# BYTES PER PIXEL of total footprint, not a 3-buffer estimate (which
+# let 1024² through and OOMed in compile; caught by the round-2
+# 128…8192 extraction sweep on hardware).
+_VMEM_BYTES_PER_PIXEL = 18
+_VMEM_BUDGET_BYTES = 15 * 1024 * 1024
 
 
 def _fed_cycle_kernel(tau_ref, l_ref, g_ref, out_ref, scratch):
@@ -90,7 +98,7 @@ def fed_cycle_fused(L, g, taus: np.ndarray):
     from cubesat_apds_tpu.ops.features import scale_space as ss
 
     h, w = L.shape
-    vmem_need = 3 * h * w * 4
+    vmem_need = _VMEM_BYTES_PER_PIXEL * h * w
     on_tpu = jax.devices()[0].platform == "tpu"
     if not on_tpu or vmem_need > _VMEM_BUDGET_BYTES:
         return ss.fed_cycle(L, g, taus)

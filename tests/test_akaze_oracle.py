@@ -20,7 +20,11 @@ import oracle_akaze as oracle
 from cubesat_apds_tpu.core.config import AkazeConfig
 from cubesat_apds_tpu.ops.features.akaze import detect_and_compute
 
-CFG_EXACT = AkazeConfig(capacity=1024, detect_topk="exact")
+# The oracle validates the REFERENCE-FAITHFUL sampling: pin exact
+# descriptor/orientation modes (the package default is the fast mode,
+# whose fidelity is covered by the end-task study instead — PERF.md).
+CFG_EXACT = AkazeConfig(capacity=1024, detect_topk="exact",
+                        descriptor_mode="exact", orientation_mode="exact")
 
 
 def _scene_noise(seed=7, n=256, sigma=3.0):
@@ -104,7 +108,8 @@ def test_approx_topk_recall():
     img = _scene_noise(seed=11)
     ex_xy, ex_lvl, ex_desc = _jax_features(img, CFG_EXACT)
     ap_xy, ap_lvl, ap_desc = _jax_features(
-        img, AkazeConfig(capacity=1024, detect_topk="approx"))
+        img, AkazeConfig(capacity=1024, detect_topk="approx",
+                         descriptor_mode="exact", orientation_mode="exact"))
 
     d, idx = cKDTree(ap_xy).query(ex_xy, k=1)
     kept = (d <= 1e-3) & (ex_lvl == ap_lvl[idx])

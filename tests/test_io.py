@@ -315,3 +315,16 @@ def test_materialize_chunked_matches_unchunked(tmp_path, rng):
     again = ds2.read_window(0, 0, ds.width, ds.height,
                             bands=tuple(range(1, ds.n_bands + 1)))
     np.testing.assert_allclose(full, again, equal_nan=True)
+
+
+def test_to_rgb_chunked_matches_monolithic(tmp_path, rng):
+    """Huge-window to_rgb (chunked, bounded memory) must equal the
+    monolithic resample bit-for-bit in the interior semantics."""
+    _write_tile(tmp_path / "a.tif", rng, 10.0, 56.0, size=128)
+    _write_tile(tmp_path / "b.tif", rng, 10.0 + 128 * 0.5, 56.0, size=128)
+    ds = MosaicDataset.from_folder(str(tmp_path))
+    w, h = ds.width, ds.height
+    mono = ds.to_rgb((0, 0), (w, h), (w // 4, h // 4))
+    # Force chunking with a tiny max_pixels (several tiles + margins).
+    chunk = ds.to_rgb((0, 0), (w, h), (w // 4, h // 4), max_pixels=1024)
+    np.testing.assert_array_equal(mono, chunk)
