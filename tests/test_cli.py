@@ -95,3 +95,27 @@ def test_cli_calibrate(tmp_path, capsys):
     with open(out_json) as f:
         cam = json.load(f)
     assert len(cam["K"]) == 3
+
+
+def test_cli_localize_multi_frame(scene, capsys):
+    """Multiple --frame args share one cached device DB (Localizer);
+    output is a JSON list with one record per frame."""
+    tmp_path, tiles, img = scene
+    store_dir = str(tmp_path / "mstore")
+    rc = main(["preprocess", "--dataset", str(tiles), "--store", store_dir,
+               "--lod", "1"])
+    assert rc == 0
+
+    from PIL import Image
+
+    f1 = str(tmp_path / "f1.png")
+    f2 = str(tmp_path / "f2.png")
+    Image.fromarray((img * 255).astype(np.uint8)).save(f1)
+    Image.fromarray((np.roll(img, 3, axis=1) * 255).astype(np.uint8)).save(f2)
+    rc = main(["localize", "--store", store_dir, "--frame", f1, f2])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    out = json.loads(captured[captured.index("["):])
+    assert isinstance(out, list) and len(out) == 2
+    assert out[0]["frame"] == f1 and out[1]["frame"] == f2
+    assert out[0]["keypoints"] > 0
