@@ -25,7 +25,7 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--db-size", type=int, default=10240)
     ap.add_argument("--capacity", type=int, default=2048)
-    ap.add_argument("--descriptor-mode", default="exact")
+    ap.add_argument("--descriptor-mode", default="fast")
     args = ap.parse_args()
 
     import jax
