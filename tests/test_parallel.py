@@ -86,3 +86,56 @@ def test_explicit_device_placement(rng):
     assert len(sharded.sharding.device_set) == 8
     rep = replicate(mesh, jnp.ones(4))
     assert rep.sharding.is_fully_replicated
+
+
+def test_batch_localizer_matches_single_device(rng):
+    """The mesh-parallel serving step (parallel.serve) must agree with
+    per-frame single-device localization: same match counts and
+    near-identical homographies (GSPMD reorders f32 reductions)."""
+    from cubesat_apds_tpu.core.config import (
+        AkazeConfig, MatchConfig, PipelineConfig, RansacConfig)
+    from cubesat_apds_tpu.core.types import CameraModel
+    from cubesat_apds_tpu.parallel.serve import (
+        make_batch_localizer, shard_device_db)
+    from cubesat_apds_tpu.pipelines.localize import (
+        DeviceDb, localize_frame_jit)
+
+    cfg = PipelineConfig(
+        akaze=AkazeConfig(capacity=256),
+        match=MatchConfig(ratio=0.75),
+        ransac=RansacConfig(num_hypotheses=64))
+    cam = CameraModel.ideal(100.0, 100.0, 64.0, 64.0)
+
+    base = np.zeros((128, 128), np.float32)
+    for _ in range(25):
+        cy, cx = rng.integers(5, 100, 2)
+        s = int(rng.integers(8, 20))
+        base[cy:cy + s, cx:cx + s] = rng.uniform(0.3, 1.0)
+    frames = np.stack([np.roll(base, i, axis=1) for i in range(4)])
+
+    m = 1000   # deliberately NOT a tp multiple (pad path)
+    desc = rng.integers(0, 256, (m, 61), dtype=np.uint8)
+    xy = rng.uniform(0, 128, (m, 2)).astype(np.float32)
+    db = DeviceDb(
+        descriptors=jnp.asarray(desc), xy=jnp.asarray(xy),
+        valid=jnp.ones(m, bool),
+        obj_points=jnp.zeros((m, 3), jnp.float32), has_world=False)
+
+    mesh = make_mesh(dp=2, tp=4)
+    db_sh = shard_device_db(mesh, db)
+    assert db_sh.descriptors.shape[0] % 4 == 0
+    step = make_batch_localizer(mesh, cam, cfg, solve_pose=False)
+    with jax.set_mesh(mesh):
+        homog, pose, n_match, n_kp = step(jnp.asarray(frames), db_sh)
+    assert pose is None
+
+    for i in range(4):
+        ref = localize_frame_jit(jnp.asarray(frames[i]), db, cam, cfg,
+                                 solve_pose=False)
+        assert int(n_kp[i]) == int(ref.num_keypoints)
+        assert int(n_match[i]) == int(ref.num_matches)
+        if bool(ref.homography.ok):
+            assert bool(homog.ok[i])
+            np.testing.assert_allclose(
+                np.asarray(homog.H[i]), np.asarray(ref.homography.H),
+                atol=2e-2)
