@@ -54,16 +54,30 @@ def main():
     qb = jnp.asarray(M.unpack_bits(q))
     dbb = jnp.asarray(M.unpack_bits(db))
 
-    @jax.jit
-    def run(qb, dbb):
-        return M.knn2_blockwise(qb, dbb, args.block)
+    # Per-iteration query salt + chained fetch: the tunneled-TPU relay
+    # result-caches repeated computations and block_until_ready is a
+    # no-op for remote buffers (bench.py "Measurement methodology").
+    entropy = int(time.time() * 1000) % (1 << 16)
 
-    out = run(qb, dbb)
-    jax.block_until_ready(out)
+    @jax.jit
+    def run(qb, dbb, salt):
+        # Flip ONE (salt-selected) bit column: a distinct input per
+        # iteration, workload unchanged.
+        flip = (jnp.arange(qb.shape[1], dtype=jnp.uint32)
+                == salt % qb.shape[1]).astype(qb.dtype)
+        q = jnp.bitwise_xor(qb, flip[None, :])
+        d0, d1, i0 = M.knn2_blockwise(q, dbb, args.block)
+        return (d0, d1, i0), jnp.sum(
+            jnp.where(d0 < 3.0e38, d0, 0.0)) + jnp.sum(i0)
+
+    out, acc0 = run(qb, dbb, jnp.uint32(entropy + 99999))
+    float(acc0)
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = run(qb, dbb)
-    jax.block_until_ready(out)
+    acc = None
+    for i in range(args.iters):
+        out, a = run(qb, dbb, jnp.uint32(entropy + i))
+        acc = a if acc is None else acc + a
+    float(acc)                      # forces every iteration
     dt = (time.perf_counter() - t0) / args.iters
 
     comparisons = args.queries * args.db_size
@@ -95,8 +109,11 @@ def main():
             out_s = fn(qb, dbb_p, db_valid)
         jax.block_until_ready(out_s)
         dt_s = (time.perf_counter() - t0) / args.iters
-        # Correctness cross-check vs the single-chip blockwise result.
-        d0_ref, _, i0_ref = (np.asarray(x) for x in out)
+        # Correctness cross-check vs the single-chip blockwise result
+        # (recomputed on the UNsalted queries the sharded path sees).
+        ref = jax.jit(lambda a, b: M.knn2_blockwise(a, b, args.block))(
+            qb, dbb)
+        d0_ref, _, i0_ref = (np.asarray(x) for x in ref)
         d0_s, _, i0_s = (np.asarray(x) for x in out_s)
         agree = float(((d0_s == d0_ref) & (i0_s == i0_ref)).mean())
         print(json.dumps({
