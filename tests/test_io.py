@@ -328,3 +328,20 @@ def test_to_rgb_chunked_matches_monolithic(tmp_path, rng):
     # Force chunking with a tiny max_pixels (several tiles + margins).
     chunk = ds.to_rgb((0, 0), (w, h), (w // 4, h // 4), max_pixels=1024)
     np.testing.assert_array_equal(mono, chunk)
+
+
+def test_native_windowed_decode_big_endian_predictor2(tmp_path, rng):
+    """Windowed decode through the BE/predictor-2 path: the byte-swap +
+    accumulation run over full chunk rows, the windowed copy must slice
+    the right region with host-order samples."""
+    from cubesat_apds_tpu.io.native import open_tiff_native
+
+    img = rng.integers(0, 65535, (19, 23), dtype=np.uint16)
+    p = tmp_path / "be_pred2w.tif"
+    p.write_bytes(_build_tiff_be_pred2_u16(img))
+    t = open_tiff_native(str(p))
+    assert t is not None
+    np.testing.assert_array_equal(t.read_window(5, 3, 11, 9),
+                                  img[3:12, 5:16])
+    np.testing.assert_array_equal(t.read_window(0, 0, 23, 19), img)
+    t.close()
