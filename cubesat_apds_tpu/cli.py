@@ -83,7 +83,6 @@ def _cmd_localize(args):
     for path in args.frame:
         with Image.open(path) as im:
             frames.append(np.asarray(im.convert("F"), np.float32) / 255.0)
-    frame = frames[0]
     if args.camera:
         with open(args.camera) as f:
             c = json.load(f)
@@ -93,7 +92,14 @@ def _cmd_localize(args):
                              dist=jnp.asarray(c.get("dist", [0] * 5),
                                               jnp.float32))
     else:
-        h, w = frame.shape
+        # Fallback ideal camera per the FIRST frame's geometry; require
+        # uniform frame sizes so later frames aren't misnormalized by a
+        # wrong principal point (pass --camera for mixed sizes).
+        if len({f.shape for f in frames}) > 1:
+            raise SystemExit(
+                "frames have different sizes; the ideal-camera fallback "
+                "would misnormalize — pass --camera")
+        h, w = frames[0].shape
         camera = CameraModel.ideal(float(max(h, w)), float(max(h, w)),
                                    w / 2.0, h / 2.0)
     # The device DB is exported + uploaded ONCE; every frame reuses it

@@ -104,11 +104,18 @@ class MosaicDataset:
             y1 = min(y + h, py + m.height)
             if x0 >= x1 or y0 >= y1:
                 continue
+            # One windowed decode serves every requested band (lazy
+            # members otherwise inflate the same strips per band).
+            in_range = [b for b in bands if b - 1 < m.n_bands]
+            if not in_range:
+                continue
+            src_all = m.read_bands_window(
+                [b - 1 for b in in_range], y0 - py, y1 - py,
+                x0 - px, x1 - px)
             for bi, b in enumerate(bands):
                 if b - 1 >= m.n_bands:
                     continue
-                src = m.read_band_window(b - 1, y0 - py, y1 - py,
-                                         x0 - px, x1 - px)
+                src = src_all[in_range.index(b)]
                 dst = out[bi, y0 - y:y1 - y, x0 - x:x1 - x]
                 # Later members only fill holes (VRT first-wins layering).
                 hole = np.isnan(dst)
@@ -153,10 +160,19 @@ class MosaicDataset:
         x, y = window_xy
         w, h = window_size
         ow, oh = out_size
-        if (w * h > max_pixels and w % ow == 0 and h % oh == 0
-                and w // ow == h // oh and w // ow > 1):
-            return self._to_rgb_chunked(x, y, w, h, ow, oh, bands,
-                                        max_pixels)
+        if w * h > max_pixels:
+            if (w % ow == 0 and h % oh == 0 and w // ow == h // oh
+                    and w // ow > 1):
+                return self._to_rgb_chunked(x, y, w, h, ow, oh, bands,
+                                            max_pixels)
+            if min(w // max(ow, 1), h // max(oh, 1)) >= 2:
+                # Non-integer ratio, still over budget: two-stage —
+                # chunked integer Lanczos pre-decimation, then the
+                # dense-matrix resample on the small intermediate.
+                return self._to_rgb_big_noninteger(
+                    x, y, w, h, ow, oh, bands, max_pixels)
+            # Ratio < 2: the OUTPUT itself is comparable to the window —
+            # memory is inherent to the request; monolithic path below.
         raw = self.read_window(x, y, w, h, bands)
         mm = self.datasets_min_max()
         data = jnp.asarray(raw)
@@ -210,6 +226,63 @@ class MosaicDataset:
                 out[oy0:oy1, ox0:ox1] = tile[margin:margin + (oy1 - oy0),
                                              margin:margin + (ox1 - ox0)]
         return out
+
+    def _to_rgb_big_noninteger(self, x, y, w, h, ow, oh, bands,
+                               max_pixels):
+        """Bounded-memory to_rgb for over-budget NON-integer ratios.
+
+        Stage 1: row-chunked NaN-safe integer Lanczos decimation by
+        f = min(w//ow, h//oh) into an f32 (vals, wsum) intermediate
+        (window padded to a multiple of f with out-of-extent NaN reads;
+        the padded cells carry correct PARTIAL sums since vals and wsum
+        decimate with the same kernel). Stage 2: the dense-matrix
+        Lanczos with the EXPLICIT full-res geometric scale s/f —
+        (j+0.5)·s − 0.5 in full-res coords is (j+0.5)·(s/f) − 0.5 in
+        intermediate coords, so alignment is exact.
+        """
+        import jax.numpy as jnp
+
+        from cubesat_apds_tpu.ops.image import band_merge_rgba
+        from cubesat_apds_tpu.ops.resample import (
+            lanczos_downsample, lanczos_resample_scaled)
+
+        f = min(w // ow, h // oh)
+        w_pad = -(-w // f) * f
+        h_pad = -(-h // f) * f
+        iw, ih = w_pad // f, h_pad // f
+        vals = np.empty((len(bands), ih, iw), np.float32)
+        wsum = np.empty_like(vals)
+        # Row-chunked stage 1 with a Lanczos margin (cropped after).
+        margin = 4  # intermediate rows; ≥ ceil(ceil(3f)/f)
+        rows_budget = max(
+            (max_pixels // max(len(bands), 1)) // w_pad // f, 8)
+        for oy0 in range(0, ih, rows_budget):
+            oy1 = min(oy0 + rows_budget, ih)
+            ry0 = (oy0 - margin) * f
+            rh = (oy1 - oy0 + 2 * margin) * f
+            raw = self.read_window(x, y + ry0, w_pad, rh, bands)
+            nanmask = np.isnan(raw)
+            filled = jnp.asarray(np.where(nanmask, 0.0, raw))
+            vmask = jnp.asarray(1.0 - nanmask.astype(np.float32))
+            v_ds = np.asarray(lanczos_downsample(filled, f))
+            m_ds = np.asarray(lanczos_downsample(vmask, f))
+            vals[:, oy0:oy1] = v_ds[:, margin:margin + (oy1 - oy0), :iw]
+            wsum[:, oy0:oy1] = m_ds[:, margin:margin + (oy1 - oy0), :iw]
+
+        sy = (h / oh) / f
+        sx = (w / ow) / f
+        # Intermediate pixel k sits at full-res k·f (conv stride-f
+        # convention), hence the −0.5/f center offset.
+        off = (-0.5 / f, -0.5 / f)
+        v2 = lanczos_resample_scaled(jnp.asarray(vals), (oh, ow), (sy, sx),
+                                     off)
+        m2 = lanczos_resample_scaled(jnp.asarray(wsum), (oh, ow), (sy, sx),
+                                     off)
+        data = jnp.where(m2 > 0.5, v2 / jnp.maximum(m2, 1e-6), jnp.nan)
+        mm = self.datasets_min_max()
+        sel = [b - 1 for b in bands]
+        rgba = band_merge_rgba(data, mm.mins[sel], mm.maxs[sel])
+        return np.asarray(rgba)
 
     def get_world_coordinates(self, px: float, py: float):
         """pixel → (lon, lat, height) using the attached elevation raster

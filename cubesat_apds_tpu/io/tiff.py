@@ -66,6 +66,11 @@ class GeoRaster:
         members can be streamed from disk."""
         return self.bands[b, y0:y1, x0:x1]
 
+    def read_bands_window(self, band_idxs, y0: int, y1: int,
+                          x0: int, x1: int) -> np.ndarray:
+        """[len(band_idxs), h, w] — multi-band window (one call)."""
+        return self.bands[list(band_idxs), y0:y1, x0:x1]
+
     def band_min_max(self, b: int):
         band = self.bands[b]
         if np.isnan(band).all():
@@ -115,29 +120,46 @@ class LazyGeoRaster:
         self.n_bands = self._tif.samples
         self._minmax: dict = {}
 
-    def read_band_window(self, b: int, y0: int, y1: int,
-                         x0: int, x1: int) -> np.ndarray:
+    def read_bands_window(self, band_idxs, y0: int, y1: int,
+                          x0: int, x1: int) -> np.ndarray:
+        """[len(band_idxs), h, w] float32 from ONE windowed decode —
+        the native decoder inflates each intersecting strip/tile once
+        regardless of how many bands the caller wants."""
         win = self._tif.read_window(x0, y0, x1 - x0, y1 - y0)
-        if win.ndim == 3:
-            win = win[..., b]
-        elif b != 0:
-            raise IndexError(f"band {b} of single-band raster")
-        out = win.astype(np.float32)
+        if win.ndim == 2:
+            win = win[..., None]
+        for b in band_idxs:
+            if b >= win.shape[-1]:
+                raise IndexError(f"band {b} of {win.shape[-1]}-band raster")
+        out = np.moveaxis(win[..., list(band_idxs)], -1, 0).astype(np.float32)
         if self.apply_nodata and self.nodata is not None:
             out[out == self.nodata] = np.nan
         return out
 
+    def read_band_window(self, b: int, y0: int, y1: int,
+                         x0: int, x1: int) -> np.ndarray:
+        return self.read_bands_window((b,), y0, y1, x0, x1)[0]
+
+    def _scan_min_max(self, chunk_rows: int = 1024):
+        """Streaming ALL-band min/max in one pass over row chunks (one
+        decode per chunk, never whole-raster RAM)."""
+        lo = np.full(self.n_bands, np.inf)
+        hi = np.full(self.n_bands, -np.inf)
+        for y0 in range(0, self.height, chunk_rows):
+            y1 = min(y0 + chunk_rows, self.height)
+            w = self.read_bands_window(range(self.n_bands), y0, y1,
+                                       0, self.width)
+            for b in range(self.n_bands):
+                if not np.isnan(w[b]).all():
+                    lo[b] = min(lo[b], float(np.nanmin(w[b])))
+                    hi[b] = max(hi[b], float(np.nanmax(w[b])))
+        for b in range(self.n_bands):
+            self._minmax[b] = None if lo[b] > hi[b] else \
+                (float(lo[b]), float(hi[b]))
+
     def band_min_max(self, b: int, chunk_rows: int = 1024):
-        """Streaming min/max over row chunks (never whole-raster RAM)."""
         if b not in self._minmax:
-            lo, hi = np.inf, -np.inf
-            for y0 in range(0, self.height, chunk_rows):
-                y1 = min(y0 + chunk_rows, self.height)
-                w = self.read_band_window(b, y0, y1, 0, self.width)
-                if not np.isnan(w).all():
-                    lo = min(lo, float(np.nanmin(w)))
-                    hi = max(hi, float(np.nanmax(w)))
-            self._minmax[b] = None if lo > hi else (lo, hi)
+            self._scan_min_max(chunk_rows)
         return self._minmax[b]
 
     pixel_to_world = GeoRaster.pixel_to_world

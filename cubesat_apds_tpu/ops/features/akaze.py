@@ -226,8 +226,11 @@ def detect_and_compute_tiled(img, config: AkazeConfig = AkazeConfig(),
         batch = np.stack([arr[ys[yi]:ys[yi] + tile, xs[xi]:xs[xi] + tile]
                           for xi, yi in chunk])
         if len(chunk) < tile_batch and len(offs) > tile_batch:
+            # Pad with the ACTUAL tile shape: images with one dimension
+            # ≤ tile yield rectangular tiles (e.g. 256×2000 at
+            # tile=512 → (256, 512) tiles).
             batch = np.concatenate(
-                [batch, np.zeros((tile_batch - len(chunk), tile, tile),
+                [batch, np.zeros((tile_batch - len(chunk),) + batch.shape[1:],
                                  np.float32)])
         feats = detect_and_compute_batch(batch, config, per_tile_cap,
                                          kcontrast)

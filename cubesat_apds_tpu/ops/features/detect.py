@@ -118,9 +118,15 @@ def _resample_to(x, shape_hw):
         x = x[: th * 2, : tw * 2]
         x = x.reshape(th, 2, tw, 2)
         return x.max(axis=(1, 3))
-    # upsample by 2: repeat
+    # Upsample by 2: repeat, then edge-pad any odd-dimension shortfall
+    # (a 25-px level half-samples to 12, and 12×2 = 24 ≠ 25 — hit by
+    # non-power-of-two rectangular preprocessor tiles).
     x = jnp.repeat(jnp.repeat(x, 2, axis=0), 2, axis=1)
-    return x[:th, :tw]
+    x = x[:th, :tw]
+    if x.shape != (th, tw):
+        x = jnp.pad(x, ((0, th - x.shape[0]), (0, tw - x.shape[1])),
+                    mode="edge")
+    return x
 
 
 def detect_keypoints(ss: ScaleSpace, config: AkazeConfig = AkazeConfig(),

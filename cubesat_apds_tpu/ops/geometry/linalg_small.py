@@ -107,8 +107,12 @@ def eigh3x3(A, iters: int = 4):
     def rotate(A, V, p, q):
         app, aqq, apq = A[..., p, p], A[..., q, q], A[..., p, q]
         # tan(2θ) = 2 a_pq / (a_pp − a_qq); stable half-angle form.
+        # sign must be ±1 (NOT jnp.sign: at tau == 0 — equal diagonal
+        # entries with nonzero a_pq — the rotation is exactly 45° and
+        # t must be 1, but sign(0)=0 froze the element unannihilated).
         tau = (aqq - app) / (2.0 * jnp.where(jnp.abs(apq) < 1e-30, 1e-30, apq))
-        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        s_tau = jnp.where(tau >= 0, 1.0, -1.0)
+        t = s_tau / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
         t = jnp.where(jnp.abs(apq) < 1e-30, 0.0, t)
         c = 1.0 / jnp.sqrt(1.0 + t * t)
         s = t * c
@@ -213,7 +217,8 @@ def _jacobi_small(S, iters: int = 6):
                 app, aqq, apq = S[..., p, p], S[..., q, q], S[..., p, q]
                 tau = (aqq - app) / (
                     2.0 * jnp.where(jnp.abs(apq) < 1e-30, 1e-30, apq))
-                t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+                s_tau = jnp.where(tau >= 0, 1.0, -1.0)  # ±1, see eigh3x3
+                t = s_tau / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
                 t = jnp.where(jnp.abs(apq) < 1e-30, 0.0, t)
                 c = 1.0 / jnp.sqrt(1.0 + t * t)
                 s = t * c

@@ -132,8 +132,23 @@ def lod_tile_grid(width: int, height: int, amount_lod: int):
     shifted back to end at the mosaic edge (static shapes; the
     reference's integer grid drops the remainder — fixed, not
     replicated). Returns per level:
-    (tile_w, tile_h, step_x, step_y, off_x list, off_y list).
+    (tile_w, tile_h, step_x, step_y, off_x list, off_y list,
+     bounds_x, bounds_y) — tile (c, r) OWNS mosaic coordinates
+    [bounds_x[c], bounds_x[c+1]) × [bounds_y[r], bounds_y[r+1])
+    (boundaries at the midpoints of the ACTUAL window overlaps), so
+    consumers can drop duplicate detections from the edge-shifted
+    overlap bands instead of storing near-twin keypoints (whose twin
+    descriptors would make the Lowe d0 < ratio·d1 gate reject every
+    match over the band).
     """
+
+    def _bounds(offsets, step, total):
+        b = [0.0]
+        for i in range(len(offsets) - 1):
+            b.append((offsets[i + 1] + offsets[i] + step) / 2.0)
+        b.append(float(total))
+        return b
+
     out = []
     tile_w = max(width // (2 ** (amount_lod - 1)), 1)
     tile_h = max(height // (2 ** (amount_lod - 1)), 1)
@@ -148,5 +163,7 @@ def lod_tile_grid(width: int, height: int, amount_lod: int):
             rows += 1
         off_x = [min(c * step_x, max(width - step_x, 0)) for c in range(cols)]
         off_y = [min(r * step_y, max(height - step_y, 0)) for r in range(rows)]
-        out.append((tile_w, tile_h, step_x, step_y, off_x, off_y))
+        out.append((tile_w, tile_h, step_x, step_y, off_x, off_y,
+                    _bounds(off_x, step_x, width),
+                    _bounds(off_y, step_y, height)))
     return out

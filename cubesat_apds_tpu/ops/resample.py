@@ -59,15 +59,24 @@ def lanczos_downsample(img, factor: int, a: int = 3):
     return x.reshape(batch_shape + x.shape[-2:])
 
 
-def _lanczos_matrix_np(in_n: int, out_n: int, a: int = 3):
+def _lanczos_matrix_np(in_n: int, out_n: int, a: int = 3,
+                       scale: float | None = None,
+                       offset: float = -0.5):
     """Dense 1-D Lanczos resampling matrix [out_n, in_n] for ARBITRARY
     (non-integer) ratios. For downscale the kernel is stretched by the
     scale factor (standard anti-aliasing, support a·scale per side);
     border rows renormalize over the in-range taps (PIL convention).
+
+    `scale`/`offset` override the in_n/out_n ratio and the -0.5
+    half-pixel convention: the two-stage big-window path resamples an
+    integer-decimated intermediate whose array may be PADDED past the
+    window extent (scale != shape ratio) and whose pixel k sits at
+    full-res k*f, not k*f + (f-1)/2 (offset = -0.5/f).
     """
-    scale = in_n / out_n
+    if scale is None:
+        scale = in_n / out_n
     stretch = max(scale, 1.0)
-    centers = (np.arange(out_n, dtype=np.float64) + 0.5) * scale - 0.5
+    centers = (np.arange(out_n, dtype=np.float64) + 0.5) * scale + offset
     t = (np.arange(in_n, dtype=np.float64)[None, :] - centers[:, None]) / stretch
     with np.errstate(invalid="ignore", divide="ignore"):
         w = np.sinc(t) * np.sinc(t / a)
@@ -100,6 +109,27 @@ def lanczos_resample(img, out_size, a: int = 3):
         Wc = jnp.asarray(_lanczos_matrix_np(w, ow, a))
         y = jnp.einsum("...ij,kj->...ik", y, Wc)
     return y
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("out_size", "scale_yx", "offset_yx", "a"))
+def lanczos_resample_scaled(img, out_size, scale_yx,
+                            offset_yx=(-0.5, -0.5), a: int = 3):
+    """lanczos_resample with EXPLICIT per-axis geometric scales (input
+    px per output px) and center offsets, independent of the array-shape
+    ratio — used by the two-stage big-window path where the input array
+    is an integer-decimated (and possibly padded) intermediate."""
+    oh, ow = out_size
+    sy, sx = scale_yx
+    offy, offx = offset_yx
+    x = jnp.asarray(img, jnp.float32)
+    h, w = x.shape[-2:]
+    y = jnp.einsum(
+        "ij,...jk->...ik",
+        jnp.asarray(_lanczos_matrix_np(h, oh, a, scale=sy, offset=offy)), x)
+    return jnp.einsum(
+        "...ij,kj->...ik", y,
+        jnp.asarray(_lanczos_matrix_np(w, ow, a, scale=sx, offset=offx)))
 
 
 def _gaussian_kernel_np(sigma: float, radius: int | None = None):

@@ -70,7 +70,7 @@ def preprocess(
     grid = lod_tile_grid(width, height, amount_lod)
 
     for lod in range(amount_lod):
-        tile_w, tile_h, step_x, step_y, off_x, off_y = grid[lod]
+        tile_w, tile_h, step_x, step_y, off_x, off_y, bx, by = grid[lod]
         columns, rows = len(off_x), len(off_y)
         log(f"LoD {lod}: {columns}x{rows} tiles of {step_x}x{step_y} px "
             f"-> {tile_w}x{tile_h}")
@@ -115,10 +115,23 @@ def preprocess(
                 # Coordinate upscale x·2^lod + tile offset (main.rs:296-304).
                 gx = xy[bi, v, 0] * scale + off_x[c]
                 gy = xy[bi, v, 1] * scale + off_y[r]
+                # Ownership filter: edge-shifted ragged tiles overlap
+                # their neighbours; each keypoint is stored by exactly
+                # ONE tile (lod_tile_grid bounds) — duplicate near-twin
+                # descriptors would poison the Lowe ratio test at query
+                # time (d0 ≈ d1 for the twin pair).
+                own = ((gx >= bx[c]) & (gx < bx[c + 1])
+                       & (gy >= by[r]) & (gy < by[r + 1]))
+                gx, gy = gx[own], gy[own]
+                n = int(own.sum())
+                if n == 0:
+                    stats.tiles += 1
+                    continue
+                vv = np.where(v)[0][own]
                 store.add_keypoints(
-                    iid, gx, gy, size[bi, v], angle[bi, v],
-                    response[bi, v], octave[bi, v], class_id[bi, v],
-                    desc[bi, v])
+                    iid, gx, gy, size[bi, vv], angle[bi, vv],
+                    response[bi, vv], octave[bi, vv], class_id[bi, vv],
+                    desc[bi, vv])
                 stats.tiles += 1
                 stats.keypoints += n
         log(f"LoD {lod} done: {len(store)} keypoints total")

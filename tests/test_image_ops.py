@@ -88,25 +88,42 @@ def test_lod_tile_grid_rectangular_ragged():
     # Non-square mosaic (main.rs:212-216 computes per-axis tile sizes):
     # 3000×1000, 2 LoDs → tile 1500×500.
     grid = I.lod_tile_grid(3000, 1000, 2)
-    tile_w, tile_h, step_x, step_y, off_x, off_y = grid[0]
+    tile_w, tile_h, step_x, step_y, off_x, off_y = grid[0][:6]
     assert (tile_w, tile_h, step_x, step_y) == (1500, 500, 1500, 500)
     assert off_x == [0, 1500] and off_y == [0, 500]
     # Ragged: 3100×1050 at LoD 0 needs edge-shifted extra tiles.
     grid = I.lod_tile_grid(3100, 1050, 2)
-    tile_w, tile_h, step_x, step_y, off_x, off_y = grid[0]
+    tile_w, tile_h, step_x, step_y, off_x, off_y = grid[0][:6]
     assert (tile_w, tile_h) == (1550, 525)
     assert off_x == [0, 1550] and off_y == [0, 525]
-    tile_w, tile_h, step_x, step_y, off_x, off_y = grid[1]
+    tile_w, tile_h, step_x, step_y, off_x, off_y = grid[1][:6]
     assert (step_x, step_y) == (3100, 1050)
     assert off_x == [0] and off_y == [0]
     # True remainder case: 1000×700 with 1 LoD tile of 300.
     grid = I.lod_tile_grid(1000, 700, 1)
-    tile_w, tile_h, step_x, step_y, off_x, off_y = grid[0]
+    tile_w, tile_h, step_x, step_y, off_x, off_y = grid[0][:6]
     assert (tile_w, tile_h) == (1000, 700)
     # Coverage: every pixel column/row falls inside some tile window.
     grid = I.lod_tile_grid(1030, 520, 2)
-    tile_w, tile_h, step_x, step_y, off_x, off_y = grid[0]
+    tile_w, tile_h, step_x, step_y, off_x, off_y = grid[0][:6]
     assert off_x[-1] + step_x >= 1030 and off_y[-1] + step_y >= 520
+
+
+def test_lod_tile_grid_ownership_partition():
+    # Ownership bounds partition the mosaic exactly: boundaries at the
+    # midpoints of the ACTUAL overlaps, every coordinate owned once.
+    grid = I.lod_tile_grid(1001, 700, 2)
+    tile_w, tile_h, step_x, step_y, off_x, off_y, bx, by = grid[0]
+    assert off_x == [0, 500, 501]          # edge-shifted third tile
+    assert bx[0] == 0.0 and bx[-1] == 1001.0
+    assert bx == sorted(bx)
+    # The 499-px overlap between tiles at x=500 and x=501 splits at its
+    # midpoint: (501 + 500 + 500)/2 = 750.5.
+    assert bx[2] == (501 + 500 + 500) / 2.0
+    # Every tile's owned interval lies inside its window.
+    for c in range(len(off_x)):
+        assert bx[c] >= off_x[c] - 1e-9
+        assert bx[c + 1] <= off_x[c] + step_x + 1e-9 or c == len(off_x) - 1
 
 
 # --- Lanczos resampling parity vs PIL (extract_band, mod.rs:332-343) --------

@@ -345,3 +345,50 @@ def test_native_windowed_decode_big_endian_predictor2(tmp_path, rng):
                                   img[3:12, 5:16])
     np.testing.assert_array_equal(t.read_window(0, 0, 23, 19), img)
     t.close()
+
+
+def test_to_rgb_big_noninteger_matches_monolithic(tmp_path, rng):
+    """Over-budget windows with NON-integer ratios take the two-stage
+    (chunked decimation + scaled dense resample) path; it must closely
+    match the monolithic resample with no sub-pixel misalignment."""
+    from scipy import ndimage
+
+    from cubesat_apds_tpu.io.tiff import GeoRaster
+
+    img = ndimage.gaussian_filter(
+        rng.random((250, 300, 3)), (2, 2, 0)).astype(np.float32)
+    r = GeoRaster(bands=np.moveaxis(img, -1, 0),
+                  geotransform=(0, 1, 0, 0, 0, -1), epsg=None,
+                  nodata=None, path="s")
+    ds = MosaicDataset([r])
+    mono = ds.to_rgb((0, 0), (300, 250), (87, 71), max_pixels=1 << 62)
+    two = ds.to_rgb((0, 0), (300, 250), (87, 71), max_pixels=2048)
+    d = np.abs(mono[..., :3].astype(int) - two[..., :3].astype(int))
+    assert d.mean() < 1.5 and d.max() <= 16, (d.mean(), d.max())
+    np.testing.assert_array_equal(mono[..., 3], two[..., 3])
+    # No sub-pixel misalignment: the zero-shift agreement must beat a
+    # one-pixel shift by an order of magnitude.
+    m0 = np.abs(mono[3:-3, 3:-3, 0].astype(float)
+                - two[3:-3, 3:-3, 0].astype(float)).mean()
+    m1 = np.abs(mono[3:-3, 3:-3, 0].astype(float)
+                - np.roll(two[..., 0], 1, axis=1)[3:-3, 3:-3]).mean()
+    assert m1 > 5 * max(m0, 0.2)
+
+
+def test_lazy_multiband_single_decode(tmp_path, rng):
+    """Multi-band window reads decode the window ONCE for all bands."""
+    from cubesat_apds_tpu.io.tiff import read_geotiff_lazy
+
+    _write_tile(tmp_path / "a.tif", rng, 10.0, 56.0, size=96)
+    lazy = read_geotiff_lazy(str(tmp_path / "a.tif"))
+    calls = []
+    orig = lazy._tif.read_window
+
+    def spy(*a, **k):
+        calls.append(a)
+        return orig(*a, **k)
+
+    lazy._tif.read_window = spy
+    out = lazy.read_bands_window((0, 1, 2), 5, 60, 7, 80)
+    assert out.shape == (3, 55, 73)
+    assert len(calls) == 1          # one decode for three bands

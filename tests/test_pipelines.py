@@ -210,3 +210,31 @@ def test_localizer_caches_device_db(mosaic_dir):
     r2 = loc.localize(img[::-1].copy())
     assert loc.device_db(0) is db_obj   # no re-export
     assert int(r1.num_keypoints) > 0 and int(r2.num_keypoints) > 0
+
+
+def test_preprocess_ragged_no_duplicate_keypoints(tmp_path, rng):
+    """Edge-shifted ragged tiles must not double-store keypoints from
+    their overlap band (twin descriptors make the Lowe ratio gate
+    reject every match over the band — code-review round 2)."""
+    from scipy.spatial import cKDTree
+
+    img = _scene_image(rng, 256)
+    # 201-px-wide mosaic → lod_tile_grid(201·?) ragged columns. Use a
+    # 256×201 crop: amount_lod=2 → tile 100×128, off_x=[0,100,101].
+    crop = np.ascontiguousarray(img[:, :201])
+    rgb8 = (np.stack([crop] * 3, -1) * 255).astype(np.uint8)
+    write_geotiff(str(tmp_path / "r.tif"), rgb8,
+                  [10.0, 0.001, 0, 56.0, 0, -0.001])
+    ds = MosaicDataset.from_folder(str(tmp_path))
+    store, _ = preprocess(ds, config=CFG, amount_lod=2)
+
+    cols, desc = store.read_keypoints_from_lod(0)
+    xy = np.stack([cols["x"], cols["y"]], -1)
+    if len(xy) >= 2:
+        d, idx = cKDTree(xy).query(xy, k=2)
+        twins = d[:, 1] < 0.25
+        # Co-located keypoints at ≥2 evolution levels apart are
+        # legitimate; exact duplicates from tile overlap are not.
+        same_desc = (desc[np.arange(len(xy))[twins]]
+                     == desc[idx[twins, 1]]).all(axis=1)
+        assert not same_desc.any(), "duplicate keypoints stored"
