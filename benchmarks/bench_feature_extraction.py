@@ -59,6 +59,17 @@ def main():
     # previous run's execution (see bench.py "Measurement methodology").
     entropy = np.float32(time.time() % 1000.0)
 
+    # Median host-fetch round trip — subtracted from the per-size loop
+    # (one chained fetch per size; at ~200-300 ms tunnel RTT and 10
+    # iters the bias would otherwise be ~25 ms/frame at small sizes).
+    import jax.numpy as _jnp
+    rtts = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        float(_jnp.asarray(np.float32(i)) + _jnp.float32(1))
+        rtts.append(time.perf_counter() - t0)
+    rtt = float(np.median(rtts))
+
     for size in (int(s) for s in args.sizes.split(",")):
         cfg = AkazeConfig(capacity=min(args.capacity, size * size // 16))
         tiled = size > args.tile_threshold
@@ -96,7 +107,7 @@ def main():
                 out, acc = step(img, jnp.float32(entropy + i))
                 acc_total = acc if acc_total is None else acc_total + acc
             float(acc_total)  # forces every execution
-            dt = (time.perf_counter() - t0) / iters
+            dt = max(time.perf_counter() - t0 - rtt, 1e-9) / iters
             n_kp = int(out.keypoints.count())
         print(json.dumps({
             "bench": "akaze_extract",
