@@ -102,13 +102,28 @@ def main():
             if pad else dbb
         db_valid = jnp.arange(dbb_p.shape[0]) < args.db_size
         fn = make_sharded_knn2(mesh, "tp")
+
+        @jax.jit
+        def run_s(qb, dbb, valid, salt):
+            flip = (jnp.arange(qb.shape[1], dtype=jnp.uint32)
+                    == salt % qb.shape[1]).astype(qb.dtype)
+            d0, d1, i0 = fn(jnp.bitwise_xor(qb, flip[None, :]), dbb, valid)
+            return (d0, d1, i0), jnp.sum(
+                jnp.where(d0 < 3.0e38, d0, 0.0)) + jnp.sum(i0)
+
+        # Same salt + chained-fetch discipline as the single-chip loop.
+        out_s, acc0 = run_s(qb, dbb_p, db_valid, jnp.uint32(entropy + 7777))
+        float(acc0)
+        t0 = time.perf_counter()
+        acc = None
+        for i in range(args.iters):
+            out_s, a = run_s(qb, dbb_p, db_valid, jnp.uint32(entropy + i))
+            acc = a if acc is None else acc + a
+        float(acc)
+        dt_s = (time.perf_counter() - t0) / args.iters
+        # Unsalted pass for the correctness cross-check below.
         out_s = fn(qb, dbb_p, db_valid)
         jax.block_until_ready(out_s)
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out_s = fn(qb, dbb_p, db_valid)
-        jax.block_until_ready(out_s)
-        dt_s = (time.perf_counter() - t0) / args.iters
         # Correctness cross-check vs the single-chip blockwise result
         # (recomputed on the UNsalted queries the sharded path sees).
         ref = jax.jit(lambda a, b: M.knn2_blockwise(a, b, args.block))(

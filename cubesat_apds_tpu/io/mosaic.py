@@ -261,6 +261,15 @@ class MosaicDataset:
             ry0 = (oy0 - margin) * f
             rh = (oy1 - oy0 + 2 * margin) * f
             raw = self.read_window(x, y + ry0, w_pad, rh, bands)
+            # NaN-out everything OUTSIDE the requested window: for
+            # interior windows of a larger mosaic, the margin/padding
+            # reads return REAL pixels which must not enter the sums
+            # (the monolithic path never sees them; its conv zero-pad ≡
+            # our NaN-with-zero-weight).
+            rows_full = np.arange(ry0, ry0 + rh)
+            raw[:, (rows_full < 0) | (rows_full >= h), :] = np.nan
+            if w_pad > w:
+                raw[:, :, w:] = np.nan
             nanmask = np.isnan(raw)
             filled = jnp.asarray(np.where(nanmask, 0.0, raw))
             vmask = jnp.asarray(1.0 - nanmask.astype(np.float32))

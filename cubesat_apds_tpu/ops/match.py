@@ -158,6 +158,18 @@ def knn2_blockwise(q_bits, db_bits, block: int, db_valid=None):
     return d0, d1, i0
 
 
+def _ratio_matches(d0, d1, i0, ratio: float) -> Matches:
+    """Lowe ratio gate + Matches construction (shared by every k=2
+    matching front-end: keep m0 iff d0 < d1·ratio, lib.rs:108)."""
+    good = (d0 < d1 * ratio) & (d0 < _INVALID_DIST)
+    return Matches(
+        query_idx=jnp.arange(d0.shape[0], dtype=jnp.int32),
+        train_idx=i0,
+        distance=d0,
+        valid=good,
+    )
+
+
 def knn_match(q_desc_packed, db_desc_packed, ratio: float = 0.3,
               q_valid=None, db_valid=None, block: int | None = None) -> Matches:
     """get_knn_matches equivalent (reference lib.rs:94-114): k=2 + Lowe ratio.
@@ -173,14 +185,29 @@ def knn_match(q_desc_packed, db_desc_packed, ratio: float = 0.3,
             d0 = jnp.where(q_valid, d0, _INVALID_DIST)
     else:
         d0, d1, i0 = knn2(qb, db, q_valid, db_valid)
-    good = (d0 < d1 * ratio) & (d0 < _INVALID_DIST)
-    q = qb.shape[0]
-    return Matches(
-        query_idx=jnp.arange(q, dtype=jnp.int32),
-        train_idx=i0,
-        distance=d0,
-        valid=good,
-    )
+    return _ratio_matches(d0, d1, i0, ratio)
+
+
+def knn_match_bits(q_bits, db_bits, ratio: float = 0.3,
+                   q_valid=None, db_valid=None,
+                   q_block: int | None = None) -> Matches:
+    """knn_match on pre-unpacked bit arrays, with optional QUERY
+    chunking: the GSPMD tp-sharded serving path (parallel.serve) cannot
+    stream DB blocks — dynamic slices along the sharded axis gather
+    across chips — so the [q_block, M] distance matrix is bounded along
+    the replicated query axis instead."""
+    Q = q_bits.shape[0]
+    if q_block is None or Q <= q_block:
+        d0, d1, i0 = knn2(q_bits, db_bits, q_valid, db_valid)
+    else:
+        parts = []
+        for s in range(0, Q, q_block):
+            qv = None if q_valid is None else q_valid[s:s + q_block]
+            parts.append(knn2(q_bits[s:s + q_block], db_bits, qv, db_valid))
+        d0 = jnp.concatenate([p[0] for p in parts])
+        d1 = jnp.concatenate([p[1] for p in parts])
+        i0 = jnp.concatenate([p[2] for p in parts])
+    return _ratio_matches(d0, d1, i0, ratio)
 
 
 def knn_matches_k(q_desc_packed, db_desc_packed, k: int,

@@ -28,13 +28,14 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from cubesat_apds_tpu.core.config import PipelineConfig
-from cubesat_apds_tpu.core.types import CameraModel, Correspondences, Matches
+from cubesat_apds_tpu.core.types import CameraModel
 from cubesat_apds_tpu.ops.features.akaze import detect_and_compute
 from cubesat_apds_tpu.ops.geometry.homography import find_homography_ransac
-from cubesat_apds_tpu.ops.geometry.pnp import solve_pnp_ransac
-from cubesat_apds_tpu.ops.match import knn2, matched_points, unpack_bits
+from cubesat_apds_tpu.ops.match import (
+    knn_match_bits, matched_points, unpack_bits)
 from cubesat_apds_tpu.parallel.mesh import make_mesh  # noqa: F401 (re-export)
-from cubesat_apds_tpu.pipelines.localize import DeviceDb
+from cubesat_apds_tpu.pipelines.localize import (
+    DeviceDb, solve_pose_recentered)
 
 
 def shard_device_db(mesh, db: DeviceDb, pad_to_multiple: bool = True
@@ -86,14 +87,18 @@ def make_batch_localizer(mesh, camera: CameraModel,
         db_bits = jax.lax.with_sharding_constraint(
             db_bits, NamedSharding(mesh, P("tp")))
 
+        # The tp-sharded DB cannot stream blockwise (dynamic slices
+        # along the sharded axis gather across chips); memory is
+        # bounded by chunking the replicated QUERY axis instead so
+        # [q_block, M/tp] per-chip distance tiles honour db_block.
+        m_per_chip = max(db_bits.shape[0] // mesh.shape["tp"], 1)
+        q_block = max(
+            (config.match.db_block * 2048) // m_per_chip, 128)
+
         def match_one(desc, q_valid):
-            q_bits = unpack_bits(desc)
-            d0, d1, i0 = knn2(q_bits, db_bits, q_valid=q_valid,
-                              db_valid=db.valid)
-            good = (d0 < d1 * config.match.ratio) & (d0 < 3.0e38)
-            return Matches(
-                query_idx=jnp.arange(q_bits.shape[0], dtype=jnp.int32),
-                train_idx=i0, distance=d0, valid=good)
+            return knn_match_bits(
+                unpack_bits(desc), db_bits, ratio=config.match.ratio,
+                q_valid=q_valid, db_valid=db.valid, q_block=q_block)
 
         matches = jax.vmap(match_one)(feats.descriptors, kp.valid)
 
@@ -108,20 +113,9 @@ def make_batch_localizer(mesh, camera: CameraModel,
         want_pose = db.has_world if solve_pose is None else solve_pose
         if want_pose:
             def pose_one(kxy, m):
-                obj = db.obj_points[m.train_idx]
-                w = m.valid.astype(jnp.float32)[:, None]
-                centroid = jnp.sum(obj * w, axis=0) / \
-                    jnp.maximum(jnp.sum(w), 1.0)
-                corr = Correspondences(
-                    obj_points=(obj - centroid).astype(jnp.float32),
-                    img_points=kxy[m.query_idx],
-                    valid=m.valid)
-                sol = solve_pnp_ransac(corr, camera, config.pnp)
-                from cubesat_apds_tpu.ops.geometry.rodrigues import (
-                    rodrigues_to_matrix)
-                tvec = sol.tvec - rodrigues_to_matrix(sol.rvec) @ \
-                    centroid.astype(jnp.float32)
-                return sol.rvec, tvec, sol.num_inliers, sol.ok
+                sol = solve_pose_recentered(
+                    db.obj_points, kxy[m.query_idx], m, camera, config.pnp)
+                return sol.rvec, sol.tvec, sol.num_inliers, sol.ok
 
             pose = jax.vmap(pose_one)(kp.xy, matches)
 

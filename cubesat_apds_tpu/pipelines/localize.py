@@ -104,24 +104,8 @@ def localize_frame_jit(frame, db: DeviceDb, camera: CameraModel,
 
     pose = None
     if solve_pose:
-        obj = db.obj_points[matches.train_idx]
-        # Recenter ECEF points to float32-friendly magnitudes: subtract the
-        # valid-match centroid (poses then live in the recentered frame,
-        # translation re-offset below).
-        w = matches.valid.astype(jnp.float32)[:, None]
-        centroid = jnp.sum(obj * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
-        corr = Correspondences(
-            obj_points=(obj - centroid).astype(jnp.float32),
-            img_points=q_pts,
-            valid=matches.valid,
-        )
-        pose = solve_pnp_ransac(corr, camera, config.pnp)
-        # Solved pose maps (obj − centroid) → camera, i.e.
-        # cam = R·obj + (t − R·centroid); re-offset t to the world frame.
-        pose = PoseSolution(
-            rvec=pose.rvec,
-            tvec=pose.tvec - _rmat(pose.rvec) @ centroid.astype(jnp.float32),
-            inliers=pose.inliers, num_inliers=pose.num_inliers, ok=pose.ok)
+        pose = solve_pose_recentered(db.obj_points, q_pts, matches, camera,
+                                     config.pnp)
 
     return LocalizationResult(
         homography=homog,
@@ -134,6 +118,31 @@ def localize_frame_jit(frame, db: DeviceDb, camera: CameraModel,
 def _rmat(rvec):
     from cubesat_apds_tpu.ops.geometry.rodrigues import rodrigues_to_matrix
     return rodrigues_to_matrix(rvec)
+
+
+def solve_pose_recentered(db_obj_points, img_points, matches, camera,
+                          pnp_config) -> PoseSolution:
+    """PnP against matched world points, with an f32-safe ECEF recenter.
+
+    Gathers each match's world point, subtracts the valid-match centroid
+    (ECEF magnitudes ~6.4e6 m starve f32 otherwise), solves, and maps
+    the translation back: cam = R·obj + (t − R·centroid). Shared by the
+    single-device step (localize_frame_jit) and the mesh-parallel
+    serving step (parallel.serve).
+    """
+    obj = db_obj_points[matches.train_idx]
+    w = matches.valid.astype(jnp.float32)[:, None]
+    centroid = jnp.sum(obj * w, axis=0) / jnp.maximum(jnp.sum(w), 1.0)
+    corr = Correspondences(
+        obj_points=(obj - centroid).astype(jnp.float32),
+        img_points=img_points,
+        valid=matches.valid,
+    )
+    pose = solve_pnp_ransac(corr, camera, pnp_config)
+    return PoseSolution(
+        rvec=pose.rvec,
+        tvec=pose.tvec - _rmat(pose.rvec) @ centroid.astype(jnp.float32),
+        inliers=pose.inliers, num_inliers=pose.num_inliers, ok=pose.ok)
 
 
 def localize_frame(frame, store: FeatureStore, camera: CameraModel,

@@ -366,6 +366,13 @@ def test_to_rgb_big_noninteger_matches_monolithic(tmp_path, rng):
     d = np.abs(mono[..., :3].astype(int) - two[..., :3].astype(int))
     assert d.mean() < 1.5 and d.max() <= 16, (d.mean(), d.max())
     np.testing.assert_array_equal(mono[..., 3], two[..., 3])
+    # INTERIOR window of a larger mosaic: the stage-1 margin/padding
+    # reads return real pixels that must NOT enter the sums (edge
+    # output would otherwise depend on max_pixels).
+    mono_i = ds.to_rgb((40, 30), (220, 180), (67, 53), max_pixels=1 << 62)
+    two_i = ds.to_rgb((40, 30), (220, 180), (67, 53), max_pixels=2048)
+    d_i = np.abs(mono_i[..., :3].astype(int) - two_i[..., :3].astype(int))
+    assert d_i.mean() < 1.5 and d_i.max() <= 16, (d_i.mean(), d_i.max())
     # No sub-pixel misalignment: the zero-shift agreement must beat a
     # one-pixel shift by an order of magnitude.
     m0 = np.abs(mono[3:-3, 3:-3, 0].astype(float)
