@@ -119,8 +119,11 @@ def knn2(q_bits, db_bits, q_valid=None, db_valid=None):
 def knn2_blockwise(q_bits, db_bits, block: int, db_valid=None):
     """Streaming top-2 merge over DB blocks (large-DB path, BASELINE cfg 4).
 
-    db_bits [M, B] with M % block == 0 required (pad + mask otherwise).
-    Keeps only O(Q) state between blocks; each block is one MXU matmul.
+    db_bits: [M, 512] unpacked int8 bits, OR [M, 61] PACKED uint8 rows —
+    packed rows unpack per block inside the scan (8× less HBM; the
+    serving path keeps the whole DB packed). M % block == 0 required
+    (pad + mask otherwise). Keeps only O(Q) state between blocks; each
+    block is one MXU matmul.
     """
     m = db_bits.shape[0]
     assert m % block == 0, "pad DB to a multiple of block and pass db_valid"
@@ -132,10 +135,16 @@ def knn2_blockwise(q_bits, db_bits, block: int, db_valid=None):
         db_valid.reshape(n_blocks, block) if db_valid is not None
         else jnp.ones((n_blocks, block), bool)
     )
+    # Packed-DB mode: uint8 byte rows unpack to bits PER BLOCK inside
+    # the scan, so HBM holds 61 B/descriptor instead of 512 B of
+    # unpacked int8 bits — 8× more DB per chip on the same matcher.
+    packed = db_bits.dtype == jnp.uint8
 
     def body(carry, xs):
         d0, d1, i0 = carry
         blk, vblk, start = xs
+        if packed:
+            blk = unpack_bits(blk)
         dist = hamming_matrix(q_bits, blk)
         bd0, bd1, bi0 = _top2_with_index(dist, vblk)
         bi0 = bi0 + start
@@ -178,13 +187,15 @@ def knn_match(q_desc_packed, db_desc_packed, ratio: float = 0.3,
     size Q (one potential match per query, masked by the ratio test).
     """
     qb = unpack_bits(q_desc_packed)
-    db = unpack_bits(db_desc_packed)
-    if block is not None and db.shape[0] > block:
-        d0, d1, i0 = knn2_blockwise(qb, db, block, db_valid)
+    if block is not None and db_desc_packed.shape[0] > block:
+        # Pass the DB PACKED: knn2_blockwise unpacks per block inside
+        # its scan, so HBM never holds the 8× unpacked bit array.
+        d0, d1, i0 = knn2_blockwise(qb, jnp.asarray(db_desc_packed),
+                                    block, db_valid)
         if q_valid is not None:
             d0 = jnp.where(q_valid, d0, _INVALID_DIST)
     else:
-        d0, d1, i0 = knn2(qb, db, q_valid, db_valid)
+        d0, d1, i0 = knn2(qb, unpack_bits(db_desc_packed), q_valid, db_valid)
     return _ratio_matches(d0, d1, i0, ratio)
 
 

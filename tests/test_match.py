@@ -123,3 +123,18 @@ def test_matched_points_gather(rng):
     qp, tp = M.matched_points(kq, kt, m)
     np.testing.assert_allclose(np.asarray(qp), np.asarray(kq)[[1, 3]])
     np.testing.assert_allclose(np.asarray(tp), np.asarray(kt)[[5, 7]])
+
+
+def test_knn2_blockwise_packed_matches_unpacked(rng):
+    """Packed-DB blockwise mode (uint8 rows, per-block unpack — 8× less
+    HBM) must agree exactly with the unpacked-bit path."""
+    q = rng.integers(0, 256, (64, DESC_BYTES), dtype=np.uint8)
+    db = rng.integers(0, 256, (512, DESC_BYTES), dtype=np.uint8)
+    valid = rng.random(512) > 0.1
+    import jax.numpy as jnp
+
+    qb = M.unpack_bits(q)
+    a = M.knn2_blockwise(qb, M.unpack_bits(db), 128, jnp.asarray(valid))
+    b = M.knn2_blockwise(qb, jnp.asarray(db), 128, jnp.asarray(valid))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
