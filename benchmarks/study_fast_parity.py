@@ -61,10 +61,14 @@ def main(n_scenes: int = 120, modes=("exact", "fast")):
         return np.linalg.inv(C) @ H @ C
 
     def config(mode):
+        # EXPLICIT modes on both sides — the package default is the
+        # fast descriptor, so "exact" must opt out of it.
         kw = {
-            "exact": {},
+            "exact": {"descriptor_mode": "exact",
+                      "orientation_mode": "exact"},
             "fast": {"descriptor_mode": "fast", "orientation_mode": "fast"},
-            "fastdesc": {"descriptor_mode": "fast"},
+            "fastdesc": {"descriptor_mode": "fast",
+                         "orientation_mode": "exact"},
         }[mode]
         return PipelineConfig(
             akaze=AkazeConfig(capacity=2048, **kw),
