@@ -151,12 +151,6 @@ class MosaicDataset:
         are bit-identical to the monolithic resample (the sub-windows are
         offset by exact multiples of the stride, and the Lanczos margin
         is cropped)."""
-        import jax.numpy as jnp
-
-        from cubesat_apds_tpu.ops.image import band_merge_rgba
-        from cubesat_apds_tpu.ops.resample import (
-            lanczos_downsample, lanczos_resample)
-
         x, y = window_xy
         w, h = window_size
         ow, oh = out_size
@@ -174,6 +168,18 @@ class MosaicDataset:
             # Ratio < 2: the OUTPUT itself is comparable to the window —
             # memory is inherent to the request; monolithic path below.
         raw = self.read_window(x, y, w, h, bands)
+        return self._resample_merge(raw, ow, oh, bands)
+
+    def _resample_merge(self, raw, ow, oh, bands) -> np.ndarray:
+        """NaN-safe resample to (oh, ow) + min-max/gamma band merge —
+        the monolithic to_rgb tail, shared with the chunked path."""
+        import jax.numpy as jnp
+
+        from cubesat_apds_tpu.ops.image import band_merge_rgba
+        from cubesat_apds_tpu.ops.resample import (
+            lanczos_downsample, lanczos_resample)
+
+        h, w = raw.shape[1], raw.shape[2]
         mm = self.datasets_min_max()
         data = jnp.asarray(raw)
         if (w, h) != (ow, oh):
@@ -216,13 +222,20 @@ class MosaicDataset:
                 py0 = (oy0 - margin) * factor
                 pw = (ox1 - ox0 + 2 * margin) * factor
                 ph = (oy1 - oy0 + 2 * margin) * factor
-                # read_window fills out-of-extent areas with NaN, which
-                # the NaN-safe resample treats exactly like the
-                # monolithic path's zero-pad (0 value, 0 weight).
-                tile = self.to_rgb((x + px0, y + py0), (pw, ph),
-                                   (ox1 - ox0 + 2 * margin,
-                                    oy1 - oy0 + 2 * margin), bands,
-                                   max_pixels=1 << 62)
+                raw = self.read_window(x + px0, y + py0, pw, ph, bands)
+                # NaN-out everything OUTSIDE the requested [x,x+w)×
+                # [y,y+h) window: for an INTERIOR window of a larger
+                # mosaic the margin reads return REAL pixels that must
+                # not feed the retained output (the monolithic path
+                # never sees them; its conv zero-pad ≡ NaN with zero
+                # weight). read_window already NaNs out-of-EXTENT areas.
+                cols = np.arange(px0, px0 + pw)
+                rows = np.arange(py0, py0 + ph)
+                raw[:, (rows < 0) | (rows >= h), :] = np.nan
+                raw[:, :, (cols < 0) | (cols >= w)] = np.nan
+                tile = self._resample_merge(
+                    raw, ox1 - ox0 + 2 * margin, oy1 - oy0 + 2 * margin,
+                    bands)
                 out[oy0:oy1, ox0:ox1] = tile[margin:margin + (oy1 - oy0),
                                              margin:margin + (ox1 - ox0)]
         return out

@@ -179,6 +179,9 @@ def find_homography_ransac(src, dst, valid=None, config: RansacConfig = RansacCo
         pool = jnp.minimum(jnp.ceil(grow), num_valid.astype(jnp.float32))
         pool = jnp.maximum(pool, jnp.minimum(
             num_valid.astype(jnp.float32), 8.0)).astype(jnp.int32)  # [H]
+        # num_valid == 0 would give pool 0 → r = -1 (negative dynamic
+        # gather); floor at 1 like the ransac branch's num_valid guard.
+        pool = jnp.maximum(pool, 1)
         u = jax.random.uniform(key, (nh, 4))
         r = jnp.minimum((u * pool[:, None].astype(jnp.float32)).astype(
             jnp.int32), pool[:, None] - 1)

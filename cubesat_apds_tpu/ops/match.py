@@ -119,14 +119,38 @@ def knn2(q_bits, db_bits, q_valid=None, db_valid=None):
 def knn2_blockwise(q_bits, db_bits, block: int, db_valid=None):
     """Streaming top-2 merge over DB blocks (large-DB path, BASELINE cfg 4).
 
-    db_bits: [M, 512] unpacked int8 bits, OR [M, 61] PACKED uint8 rows —
+    db_bits: [M, 512] unpacked int8 bits, OR [M, ≤64] PACKED uint8 rows —
     packed rows unpack per block inside the scan (8× less HBM; the
-    serving path keeps the whole DB packed). M % block == 0 required
-    (pad + mask otherwise). Keeps only O(Q) state between blocks; each
-    block is one MXU matmul.
+    serving path keeps the whole DB packed). If M is not a multiple of
+    `block` the DB is padded here with masked rows. Keeps only O(Q)
+    state between blocks; each block is one MXU matmul.
     """
     m = db_bits.shape[0]
-    assert m % block == 0, "pad DB to a multiple of block and pass db_valid"
+    # Packed-DB mode: uint8 byte rows unpack to bits PER BLOCK inside
+    # the scan, so HBM holds 61 B/descriptor instead of 512 B of
+    # unpacked int8 bits — 8× more DB per chip on the same matcher.
+    # Discriminate on ROW WIDTH, not just dtype: a caller passing
+    # unpacked 0/1 bits as uint8 (e.g. np.unpackbits output) must not be
+    # re-unpacked into garbage.
+    if db_bits.shape[1] <= DESC_BITS_PADDED // 8:
+        packed = True
+    elif db_bits.shape[1] == DESC_BITS_PADDED:
+        packed = db_bits.dtype == jnp.uint8
+        if packed:
+            raise ValueError(
+                "ambiguous db_bits: width 512 uint8 — pass unpacked bits "
+                "as int8 {0,1} or packed rows as uint8 [M, 61]")
+    else:
+        raise ValueError(f"bad db_bits width {db_bits.shape[1]}: expected "
+                         f"packed ≤{DESC_BITS_PADDED // 8} or unpacked "
+                         f"{DESC_BITS_PADDED}")
+    if m % block:
+        pad = block * ((m + block - 1) // block) - m
+        if db_valid is None:
+            db_valid = jnp.ones((m,), bool)
+        db_bits = jnp.pad(db_bits, ((0, pad), (0, 0)))
+        db_valid = jnp.pad(db_valid, (0, pad))
+        m += pad
     n_blocks = m // block
     q = q_bits.shape[0]
 
@@ -135,10 +159,6 @@ def knn2_blockwise(q_bits, db_bits, block: int, db_valid=None):
         db_valid.reshape(n_blocks, block) if db_valid is not None
         else jnp.ones((n_blocks, block), bool)
     )
-    # Packed-DB mode: uint8 byte rows unpack to bits PER BLOCK inside
-    # the scan, so HBM holds 61 B/descriptor instead of 512 B of
-    # unpacked int8 bits — 8× more DB per chip on the same matcher.
-    packed = db_bits.dtype == jnp.uint8
 
     def body(carry, xs):
         d0, d1, i0 = carry

@@ -328,6 +328,13 @@ def test_to_rgb_chunked_matches_monolithic(tmp_path, rng):
     # Force chunking with a tiny max_pixels (several tiles + margins).
     chunk = ds.to_rgb((0, 0), (w, h), (w // 4, h // 4), max_pixels=1024)
     np.testing.assert_array_equal(mono, chunk)
+    # INTERIOR window: chunk margins fall on real mosaic pixels which
+    # must NOT leak into the output (monolithic path zero-pads there).
+    iw, ih = w - 40, h - 24
+    mono_i = ds.to_rgb((24, 16), (iw, ih), (iw // 4, ih // 4))
+    chunk_i = ds.to_rgb((24, 16), (iw, ih), (iw // 4, ih // 4),
+                        max_pixels=1024)
+    np.testing.assert_array_equal(mono_i, chunk_i)
 
 
 def test_native_windowed_decode_big_endian_predictor2(tmp_path, rng):

@@ -125,6 +125,41 @@ def test_matched_points_gather(rng):
     np.testing.assert_allclose(np.asarray(tp), np.asarray(kt)[[5, 7]])
 
 
+def test_blockwise_pads_non_multiple_db(rng):
+    """M not a multiple of block must pad with masked rows, not crash
+    (serving DBs are padded to 2048, not to the 65536 match block)."""
+    q = _rand_desc(rng, 16)
+    db = _rand_desc(rng, 100)
+    qb, dbb = M.unpack_bits(q), M.unpack_bits(db)
+    d0a, d1a, i0a = (np.asarray(x) for x in M.knn2(qb, dbb))
+    d0b, d1b, i0b = (np.asarray(x) for x in M.knn2_blockwise(qb, dbb, block=64))
+    np.testing.assert_array_equal(d0a, d0b)
+    np.testing.assert_array_equal(d1a, d1b)
+    np.testing.assert_array_equal(i0a, i0b)
+    # Packed path too, with a db_valid mask.
+    packed = _rand_desc(rng, 100)
+    valid = rng.random(100) > 0.2
+    import jax.numpy as jnp
+
+    a = M.knn2_blockwise(M.unpack_bits(packed), M.unpack_bits(packed), 64,
+                         jnp.asarray(valid))
+    b = M.knn2_blockwise(M.unpack_bits(packed), jnp.asarray(packed), 64,
+                         jnp.asarray(valid))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_blockwise_rejects_ambiguous_uint8_bits(rng):
+    """Unpacked 0/1 bits passed as uint8 must raise, not silently
+    re-unpack into garbage distances."""
+    q = _rand_desc(rng, 4)
+    db = _rand_desc(rng, 64)
+    qb = M.unpack_bits(q)
+    bad = np.asarray(M.unpack_bits(db)).astype(np.uint8)
+    with pytest.raises(ValueError):
+        M.knn2_blockwise(qb, bad, 32)
+
+
 def test_knn2_blockwise_packed_matches_unpacked(rng):
     """Packed-DB blockwise mode (uint8 rows, per-block unpack — 8× less
     HBM) must agree exactly with the unpacked-bit path."""
