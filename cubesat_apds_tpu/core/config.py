@@ -58,16 +58,17 @@ class AkazeConfig:
     fed_tau_max: float = 0.25
     # MLDB descriptor mode: "exact" reproduces the reference's cell
     # means over every integer sample of the rotated pattern (441
-    # nearest-neighbour samples/keypoint — the TPU gather wall, see
-    # PERF.md); "fast" samples each cell ONCE from a blur-matched
-    # pyramid (29 samples/keypoint, ~1.5× end-to-end throughput) — an
-    # anti-aliased approximation of the same descriptor. "fast" is the
-    # DEFAULT since round 2: the 120-scene end-task study
-    # (benchmarks/study_fast_parity.py) measured success 95.8% vs 96.7%
-    # exact with BETTER median corner error (0.92 vs 0.98 px) and 0.81
-    # median inlier-set Jaccard vs exact — see PERF.md. Use "exact" for
-    # reference-faithful sampling; build DB and frames with ONE mode.
-    descriptor_mode: str = "fast"
+    # nearest-neighbour samples/keypoint); "fast" samples each cell ONCE
+    # from a blur-matched pyramid (29 samples/keypoint) — an
+    # anti-aliased approximation of the same descriptor (end-task study:
+    # benchmarks/study_fast_parity.py; 0.81 inlier Jaccard vs exact).
+    # "exact" is the DEFAULT again since round 3: the flat linearized
+    # gather lowered the 441-sample load below the 100 fps budget
+    # (103.8 fps measured e2e, PERF.md round 3), so the oracle-validated
+    # reference-faithful sampling needs no speed trade anymore. "fast"
+    # remains the opt-in throughput mode (120 fps). Build DB and frames
+    # with ONE mode — descriptors across modes don't mix.
+    descriptor_mode: str = "exact"
     # Orientation sampling: "exact" = the full 109-point disc; "fast" =
     # a 55-point checkerboard subset (halves the dominant remaining
     # gather; √2 more noise on the resultant-vector estimate).

@@ -203,7 +203,11 @@ def mldb_descriptors_fast(combined_stack, level_hw, n_levels,
     iy_all = jnp.concatenate(iy_parts, axis=1)            # [K, 29]
     ix_all = jnp.concatenate(ix_parts, axis=1)
     lvl_all = jnp.concatenate(lvl_parts, axis=1)
-    vals = combined_stack[lvl_all, iy_all, ix_all].astype(jnp.float32)
+    # Flat linearized gather — see gather_sampler (2.6× over 3-index).
+    L3, Hs_, Ws_ = combined_stack.shape[:3]
+    flat = combined_stack.reshape(L3 * Hs_ * Ws_, combined_stack.shape[3])
+    lin = (lvl_all * Hs_ + iy_all) * Ws_ + ix_all
+    vals = flat[lin].astype(jnp.float32)
     di = vals[..., 0]
     rx = vals[..., 1]
     ry = vals[..., 2]

@@ -53,15 +53,24 @@ def orientation_sample_coords(xy, size, class_id, octave, mode="exact"):
 
 
 def gather_sampler(packed_stack, level_hw, lvl):
-    """Direct point-gather sampler: (iy, ix) [K, S] → [K, S, C] f32."""
+    """Direct point-gather sampler: (iy, ix) [K, S] → [K, S, C] f32.
+
+    The gather runs on the FLATTENED [L·H·W, C] stack with one
+    linearized index per sample: XLA:TPU lowers a single-dimension
+    gather ~2.6× faster than the equivalent 3-index gather (measured
+    13.8 → 5.3 ms for the 1.13M-sample load, PERF.md round 3) — the
+    values are bit-identical, only the indexing arithmetic moves into
+    cheap VPU integer ops."""
+    L, H, W = packed_stack.shape[:3]
+    flat = packed_stack.reshape(L * H * W, packed_stack.shape[3])
 
     def sample(iy, ix):
         hs = level_hw[lvl, 0][:, None]
         ws = level_hw[lvl, 1][:, None]
         ix_c = jnp.clip(ix, 0, ws - 1)
         iy_c = jnp.clip(iy, 0, hs - 1)
-        lvl_b = jnp.broadcast_to(lvl[:, None], ix.shape)
-        return packed_stack[lvl_b, iy_c, ix_c].astype(jnp.float32)
+        lin = (lvl[:, None] * H + iy_c) * W + ix_c
+        return flat[lin].astype(jnp.float32)
 
     return sample
 
