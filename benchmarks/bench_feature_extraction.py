@@ -78,13 +78,21 @@ def main():
             img_np = synth_satellite(size)
 
             def run(iters):
-                # Host-merged tiles: results are fetched inherently.
+                # Device-resident tiled merge (round 3): per-iteration
+                # results stay on device; a chained scalar accumulator
+                # fetched ONCE forces every execution (the hardened
+                # protocol — block_until_ready is a no-op remotely).
                 t0 = time.perf_counter()
+                acc = None
+                out = None
                 for i in range(iters):
                     out = detect_and_compute_tiled(
                         img_np + np.float32((entropy + i) * 1e-7), cfg,
                         tile=1024, overlap=64, tile_batch=4)
-                return time.perf_counter() - t0, out
+                    s = out.keypoints.response.sum()
+                    acc = s if acc is None else acc + s
+                float(acc)
+                return time.perf_counter() - t0 - rtt, out
 
             run(1)  # compile + warmup
             dt, out = run(iters)
