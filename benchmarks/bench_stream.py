@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--db-size", type=int, default=10240)
     ap.add_argument("--capacity", type=int, default=2048)
     ap.add_argument("--descriptor-mode", default="fast")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="frames per dispatch (micro-batched streaming; "
+                         "amortizes the tunnel round trip)")
     args = ap.parse_args()
 
     import jax
@@ -67,11 +70,12 @@ def main():
     )
     cam = CameraModel.ideal(float(n), float(n), n / 2.0, n / 2.0)
 
-    s = StreamingLocalizer(db, cam, config, solve_pose=True, prefetch=2)
+    s = StreamingLocalizer(db, cam, config, solve_pose=True,
+                           prefetch=2 * args.batch, batch=args.batch)
     import time
 
-    # Warm up compile on one frame outside the timed stream.
-    warm = list(s.run([base]))
+    # Warm up compile on one batch outside the timed stream.
+    warm = list(s.run([base] * args.batch))
     t0 = time.perf_counter()
     results = list(s.run(frames()))
     wall = time.perf_counter() - t0
@@ -84,6 +88,7 @@ def main():
         "latency_ms_p95": round(
             1e3 * sorted(lat)[int(0.95 * len(lat)) - 1], 2),
         "descriptor_mode": args.descriptor_mode,
+        "batch": args.batch,
     }))
 
 

@@ -61,6 +61,69 @@ def _localize_packed(frame, db, camera, config, solve_pose):
                            + [t.astype(jnp.float32) for t in tail])
 
 
+def _make_packed_batch_step(mesh, camera, config, solve_pose):
+    """Mesh-parallel batched packed step: frames [B, H, W] sharded over
+    "dp", DB sharded over "tp" (via parallel.serve.shard_device_db) →
+    [B, 22] packed outputs. The streaming composition of
+    parallel.serve's GSPMD serving step (VERDICT r2 weak #3)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cubesat_apds_tpu.ops.match import knn_match_bits, unpack_bits
+
+    @jax.jit
+    def step(frames, db):
+        frames = jax.lax.with_sharding_constraint(
+            frames, NamedSharding(mesh, P("dp")))
+        if frames.dtype == jnp.uint8:
+            frames = frames.astype(jnp.float32) / 255.0
+
+        from cubesat_apds_tpu.ops.features.akaze import detect_and_compute
+        from cubesat_apds_tpu.ops.geometry.homography import (
+            find_homography_ransac)
+        from cubesat_apds_tpu.ops.match import matched_points
+        from cubesat_apds_tpu.pipelines.localize import solve_pose_recentered
+
+        feats = jax.vmap(
+            functools.partial(detect_and_compute, config=config.akaze))(frames)
+        kp = feats.keypoints
+        db_bits = unpack_bits(db.descriptors)
+        db_bits = jax.lax.with_sharding_constraint(
+            db_bits, NamedSharding(mesh, P("tp")))
+        m_per_chip = max(db_bits.shape[0] // mesh.shape["tp"], 1)
+        q_block = max((config.match.db_block * 2048) // m_per_chip, 128)
+
+        def one(desc, q_valid, kxy):
+            m = knn_match_bits(unpack_bits(desc), db_bits,
+                               ratio=config.match.ratio, q_valid=q_valid,
+                               db_valid=db.valid, q_block=q_block)
+            q_pts, _t = matched_points(kxy, db.xy, m)
+            h = find_homography_ransac(q_pts, db.xy[m.train_idx],
+                                       valid=m.valid, config=config.ransac)
+            tail = [
+                jnp.asarray([h.ok], jnp.float32),
+                jnp.asarray([h.num_inliers], jnp.float32),
+                jnp.asarray([m.count()], jnp.float32),
+                jnp.asarray([jnp.sum(q_valid.astype(jnp.int32))],
+                            jnp.float32),
+            ]
+            if solve_pose:
+                p = solve_pose_recentered(db.obj_points, q_pts, m, camera,
+                                          config.pnp)
+                tail += [p.rvec, p.tvec,
+                         jnp.asarray([p.ok], jnp.float32),
+                         jnp.asarray([p.num_inliers], jnp.float32)]
+            else:
+                tail += [jnp.zeros(3), jnp.zeros(3), jnp.zeros(1),
+                         jnp.zeros(1)]
+            return jnp.concatenate(
+                [h.H.reshape(-1).astype(jnp.float32)]
+                + [t.astype(jnp.float32) for t in tail])
+
+        return jax.vmap(one)(feats.descriptors, kp.valid, kp.xy)
+
+    return step
+
+
 @dataclasses.dataclass
 class StreamResult:
     frame_id: int
@@ -76,12 +139,21 @@ class StreamResult:
 
 
 class StreamingLocalizer:
-    """Continuous localization against a device-resident DB."""
+    """Continuous localization against a device-resident DB.
+
+    `batch` > 1 dispatches B frames per device step ([B, H, W] → [B, 22]
+    packed) — one upload + one fetch per B frames, so a transfer-bound
+    link (the ~200 ms tunnel RTT, PERF.md) sustains ≈ B frames per round
+    trip instead of one. `mesh` composes the stream with the
+    mesh-parallel serving step (frames over "dp", DB over "tp") — pass a
+    DeviceDb already placed with parallel.serve.shard_device_db.
+    """
 
     def __init__(self, db: DeviceDb, camera: CameraModel,
                  config: PipelineConfig = PipelineConfig(),
                  solve_pose: bool = True, prefetch: int = 2,
-                 transfer_uint8: bool = True):
+                 transfer_uint8: bool = True, batch: int = 1,
+                 mesh=None):
         self.db = db
         self.camera = camera
         self.config = config
@@ -90,11 +162,28 @@ class StreamingLocalizer:
         # Camera frames are uint8; shipping them as such quarters the
         # host→device traffic (float conversion happens on device).
         self.transfer_uint8 = transfer_uint8
+        self.batch = max(int(batch), 1)
+        self.mesh = mesh
+        if mesh is not None:
+            dp = mesh.shape["dp"]
+            if self.batch % dp:
+                self.batch = dp * ((self.batch + dp - 1) // dp)
+            self._batch_step = _make_packed_batch_step(
+                mesh, camera, config, solve_pose)
+        elif self.batch > 1:
+            self._batch_step = jax.jit(jax.vmap(functools.partial(
+                _localize_packed, db=db, camera=camera, config=config,
+                solve_pose=solve_pose)))
         self.times = StageTimes()
 
     def _device_step(self, frame_dev):
         return _localize_packed(frame_dev, self.db, self.camera,
                                 self.config, self.solve_pose)
+
+    def _device_step_batch(self, frames_dev):
+        if self.mesh is not None:
+            return self._batch_step(frames_dev, self.db)
+        return self._batch_step(frames_dev)
 
     def run(self, frames: Iterable[np.ndarray],
             preprocess: Optional[Callable[[np.ndarray], np.ndarray]] = None
@@ -133,6 +222,10 @@ class StreamingLocalizer:
 
         threading.Thread(target=producer, daemon=True).start()
 
+        if self.batch > 1:
+            yield from self._run_batched(q, SENTINEL, producer_error)
+            return
+
         in_flight = []  # [(frame_id, t_submit, result_pytree)]
         while True:
             item = q.get()
@@ -151,11 +244,63 @@ class StreamingLocalizer:
         while in_flight:
             yield self._finish(*in_flight.pop(0))
 
+    def _run_batched(self, q, SENTINEL, producer_error):
+        """Micro-batched consumer: B frames per dispatch, one fetch per
+        batch. The final partial batch is padded by repeating its last
+        frame (padded rows are dropped, never yielded)."""
+        in_flight = []  # [(ids, t_enq, out, n_real)]
+        pend: list = []
+        done = False
+        while not done:
+            item = q.get()
+            if item is SENTINEL:
+                if producer_error:
+                    raise producer_error[0]
+                done = True
+                if not pend:
+                    break
+            else:
+                pend.append(item)
+                if len(pend) < self.batch:
+                    continue
+            n_real = len(pend)
+            while len(pend) < self.batch:          # pad the tail batch
+                pend.append(pend[-1])
+            ids = [p[0] for p in pend]
+            t_enq = pend[0][2]
+            t0 = time.perf_counter()
+            batch_arr = jnp.stack([p[1] for p in pend])
+            out = self._device_step_batch(batch_arr)
+            self.times.add("dispatch", time.perf_counter() - t0)
+            in_flight.append((ids, t_enq, out, n_real))
+            pend = []
+            while len(in_flight) > max(self.prefetch // self.batch, 1):
+                yield from self._finish_batch(*in_flight.pop(0))
+        while in_flight:
+            yield from self._finish_batch(*in_flight.pop(0))
+
+    def _finish_batch(self, ids, t_enq, out, n_real):
+        t0 = time.perf_counter()
+        packed = np.asarray(out)                   # ONE D2H fetch per batch
+        self.times.add("device_wait", time.perf_counter() - t0)
+        now = time.perf_counter()
+        for b in range(n_real):
+            res = self._unpack(ids[b], packed[b], now - t_enq)
+            self.times.add("total_latency", res.latency_s)
+            yield res
+
     def _finish(self, frame_id: int, t_enq: float, out) -> StreamResult:
         t0 = time.perf_counter()
         packed = np.asarray(out)            # single D2H fetch
         self.times.add("device_wait", time.perf_counter() - t0)
-        res = StreamResult(
+        res = self._unpack(frame_id, packed,
+                           time.perf_counter() - t_enq)
+        self.times.add("total_latency", res.latency_s)
+        return res
+
+    def _unpack(self, frame_id: int, packed: np.ndarray,
+                latency_s: float) -> StreamResult:
+        return StreamResult(
             frame_id=frame_id,
             homography=packed[:9].reshape(3, 3),
             homography_ok=bool(packed[9] > 0),
@@ -165,10 +310,8 @@ class StreamingLocalizer:
             rvec=(packed[13:16] if self.solve_pose else None),
             tvec=(packed[16:19] if self.solve_pose else None),
             pose_ok=(bool(packed[19] > 0) if self.solve_pose else None),
-            latency_s=time.perf_counter() - t_enq,
+            latency_s=latency_s,
         )
-        self.times.add("total_latency", res.latency_s)
-        return res
 
 
 def stream_localize(frames, db: DeviceDb, camera: CameraModel,

@@ -178,3 +178,52 @@ def test_export_matches_end_to_end(rng, tmp_path):
     import os
 
     assert os.path.exists(path)
+
+
+def test_streaming_batched_yields_all_frames_in_order(rng):
+    """Micro-batched streaming (B frames per dispatch): every frame
+    comes back once, in order, including a padded partial tail batch;
+    identical frames in one batch produce identical packed rows."""
+    cam = CameraModel.ideal(100.0, 100.0, 64.0, 64.0)
+    frames = _frames(rng, n=7)           # 7 frames, batch 4 → padded tail
+    frames[2] = frames[1]                # duplicate inside batch 0
+    s = StreamingLocalizer(_db(rng), cam, CFG, solve_pose=False, batch=4)
+    results = list(s.run(frames))
+    assert [r.frame_id for r in results] == list(range(7))
+    assert all(np.isfinite(r.homography).all() for r in results)
+    np.testing.assert_array_equal(results[1].homography,
+                                  results[2].homography)
+    assert results[1].num_matches == results[2].num_matches
+
+
+def test_streaming_batched_matches_single_dispatch_counts(rng):
+    """Batched vs per-frame streaming on the same input: keypoint and
+    match counts agree (vmap may move last-ULP float bits, counts are
+    the stable invariant)."""
+    cam = CameraModel.ideal(100.0, 100.0, 64.0, 64.0)
+    db = _db(rng)
+    frames = _frames(rng, n=4)
+    r1 = list(StreamingLocalizer(db, cam, CFG, solve_pose=False).run(frames))
+    rB = list(StreamingLocalizer(db, cam, CFG, solve_pose=False,
+                                 batch=4).run(frames))
+    for a, b in zip(r1, rB):
+        assert a.frame_id == b.frame_id
+        assert a.num_keypoints == b.num_keypoints
+        assert abs(a.num_matches - b.num_matches) <= 1
+
+
+def test_streaming_mesh_composed(rng):
+    """StreamingLocalizer composed with the mesh-parallel serving step
+    (frames over dp, DB over tp) on the virtual CPU mesh."""
+    from cubesat_apds_tpu.parallel.mesh import make_mesh
+    from cubesat_apds_tpu.parallel.serve import shard_device_db
+
+    cam = CameraModel.ideal(100.0, 100.0, 64.0, 64.0)
+    mesh = make_mesh(dp=2, tp=4)
+    db = shard_device_db(mesh, _db(rng))
+    s = StreamingLocalizer(db, cam, CFG, solve_pose=False, batch=4,
+                           mesh=mesh)
+    results = list(s.run(_frames(rng, n=6)))
+    assert [r.frame_id for r in results] == list(range(6))
+    assert all(np.isfinite(r.homography).all() for r in results)
+    assert all(r.num_keypoints > 0 for r in results)
