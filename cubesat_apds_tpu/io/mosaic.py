@@ -319,23 +319,29 @@ class MosaicDataset:
             inv_sy = 1.0 / e.geotransform[5]
             ex = int((wx - e.geotransform[0]) * inv_sx)
             ey = int((wy - e.geotransform[3]) * inv_sy)
-            ex = np.clip(ex, 0, e.width - 1)
-            ey = np.clip(ey, 0, e.height - 1)
-            height = float(np.nan_to_num(e.bands[0, ey, ex]))
+            ex = int(np.clip(ex, 0, e.width - 1))
+            ey = int(np.clip(ey, 0, e.height - 1))
+            if isinstance(e, MosaicDataset):
+                # Lazy elevation mosaic: 1-px windowed read — exactly the
+                # reference's single-pixel elevation read (mod.rs:311-329).
+                v = e.read_window(ex, ey, 1, 1, (1,))[0, 0, 0]
+            else:
+                v = e.bands[0, ey, ex]
+            height = float(np.nan_to_num(v))
         return wx, wy, height
 
     def set_elevation_dataset(self, path_or_raster):
         """Attach the elevation raster (set_elevation_dataset,
         mod.rs:294-309)."""
-        if isinstance(path_or_raster, GeoRaster):
+        if isinstance(path_or_raster, (GeoRaster, MosaicDataset)):
             self.elevation = path_or_raster
         elif os.path.isdir(path_or_raster):
-            merged = MosaicDataset.from_folder(path_or_raster)
-            self.elevation = GeoRaster(
-                bands=merged.read_window(0, 0, merged.width, merged.height,
-                                         bands=(1,)),
-                geotransform=merged.geotransform, epsg=None, nodata=None,
-                path=str(path_or_raster))
+            # LAZY: keep the elevation mosaic as windowed members — a
+            # continent-scale DEM folder must not be materialized just to
+            # attach it (get_world_coordinates reads 1 px at a time, and
+            # preprocess streams it into the store chunked).
+            self.elevation = MosaicDataset.from_folder(path_or_raster,
+                                                       lazy=True)
         else:
             self.elevation = read_geotiff(path_or_raster)
 
@@ -353,10 +359,18 @@ class MosaicDataset:
           * float('nan') — non-finite pixels cover more than the
             threshold fraction of the border (nodata IS NaN);
           * None — no dominant border value found.
+
+        Reads only the four 1-px edge strips (O(perimeter)), never the
+        full mosaic — the out-of-RAM ingestion guarantee holds here too.
         """
-        full = self.read_window(0, 0, self.width, self.height, (band,))[0]
-        border = np.concatenate([
-            full[0, :], full[-1, :], full[:, 0], full[:, -1]])
+        w, h = self.width, self.height
+        strips = [
+            self.read_window(0, 0, w, 1, (band,))[0, 0, :],       # top
+            self.read_window(0, h - 1, w, 1, (band,))[0, 0, :],   # bottom
+            self.read_window(0, 0, 1, h, (band,))[0, :, 0],       # left
+            self.read_window(w - 1, 0, 1, h, (band,))[0, :, 0],   # right
+        ]
+        border = np.concatenate(strips)
         finite = border[np.isfinite(border)]
         n_nonfinite = len(border) - len(finite)
         if n_nonfinite > border_fraction_threshold * len(border):

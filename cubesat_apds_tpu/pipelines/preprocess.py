@@ -45,11 +45,31 @@ def preprocess(
     tile_batch: int = 8,
     elevation_path: Optional[str] = None,
     progress: Optional[Callable[[str], None]] = None,
+    mesh=None,
 ) -> tuple[FeatureStore, PreprocessStats]:
-    """Build a FeatureStore from a mosaic (main.rs:70-124 flow)."""
+    """Build a FeatureStore from a mosaic (main.rs:70-124 flow).
+
+    `mesh` (a jax.sharding.Mesh with a "dp" axis) shards each tile batch
+    over the mesh's dp devices — the offline analogue of parallel.serve
+    and the TPU-native replacement for the reference's rayon per-tile
+    fan-out (preprocessor main.rs:227-245). Pure data parallelism: the
+    sharded run is element-wise identical to the single-device run.
+    """
     store = store or FeatureStore()
     stats = PreprocessStats()
     log = progress or (lambda s: None)
+
+    if mesh is not None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        dp = mesh.shape["dp"]
+        # The static batch width must tile evenly over the dp axis.
+        tile_batch = max(dp * ((tile_batch + dp - 1) // dp), dp)
+        _place = lambda b: jax.device_put(  # noqa: E731
+            b, NamedSharding(mesh, PartitionSpec("dp")))
+    else:
+        _place = lambda b: b  # noqa: E731
 
     width, height = dataset.get_dimensions()
     if amount_lod is None:
@@ -64,9 +84,20 @@ def preprocess(
     if dataset.elevation is not None:
         e = dataset.elevation
         store.set_geotransform(2, e.geotransform)
-        store.set_elevation(np.nan_to_num(e.bands[0]), e.geotransform)
+        # The store persists the full elevation raster (the reference
+        # inserts every pixel, add_elevation_data elevationdb.rs:191-232).
+        # A lazily-attached elevation mosaic is streamed in row chunks so
+        # only the destination array is ever fully resident.
+        if hasattr(e, "read_window"):
+            raster = np.empty((e.height, e.width), np.float32)
+            for y0 in range(0, e.height, 1024):
+                hh = min(1024, e.height - y0)
+                raster[y0:y0 + hh] = e.read_window(0, y0, e.width, hh,
+                                                   (1,))[0]
+        else:
+            raster = e.bands[0]
+        store.set_elevation(np.nan_to_num(raster), e.geotransform)
 
-    cap = config.akaze.capacity
     grid = lod_tile_grid(width, height, amount_lod)
 
     for lod in range(amount_lod):
@@ -84,10 +115,12 @@ def preprocess(
                                       (tile_w, tile_h))
                 grays.append(rgb_to_gray(jnp.asarray(rgba[..., :3])))
             # Pad ragged final batches to the fixed batch width — a new
-            # batch shape would trigger a full AKAZE recompile.
-            while len(grays) < tile_batch and len(tiles_meta) > tile_batch:
+            # batch shape would trigger a full AKAZE recompile. Under a
+            # mesh the batch must always fill to a dp multiple.
+            while len(grays) < tile_batch and (len(tiles_meta) > tile_batch
+                                               or mesh is not None):
                 grays.append(jnp.zeros_like(grays[0]))
-            batch = jnp.stack(grays)
+            batch = _place(jnp.stack(grays))
             feats = detect_and_compute_batch(batch, config.akaze)
 
             kp = feats.keypoints

@@ -61,8 +61,10 @@ class FeatureStore:
     def __init__(self):
         self._images: Dict[int, ImageRecord] = {}
         self._next_image_id = 1
-        # Columnar keypoint storage (grown geometrically).
-        self._kp: Dict[str, np.ndarray] = {
+        # Columnar keypoint storage: capacity buffers grown geometrically
+        # (×2 on overflow) with `_n` live rows — batch insert is amortized
+        # O(batch), not O(total) per call.
+        self._buf: Dict[str, np.ndarray] = {
             "x": np.empty(0, np.float32),
             "y": np.empty(0, np.float32),
             "size": np.empty(0, np.float32),
@@ -72,10 +74,20 @@ class FeatureStore:
             "class_id": np.empty(0, np.int32),
             "image_id": np.empty(0, np.int32),
         }
-        self._desc = np.empty((0, DESC_BYTES), np.uint8)
+        self._desc_buf = np.empty((0, DESC_BYTES), np.uint8)
+        self._n = 0
         self._geotransforms: Dict[int, np.ndarray] = {}   # dataset_id → [6]
         self._elevation: Optional[np.ndarray] = None      # [H, W] float32
         self._elevation_gt: Optional[np.ndarray] = None   # [6]
+
+    @property
+    def _kp(self) -> Dict[str, np.ndarray]:
+        """Live keypoint columns (views of the capacity buffers)."""
+        return {f: self._buf[f][:self._n] for f in _KP_FIELDS}
+
+    @property
+    def _desc(self) -> np.ndarray:
+        return self._desc_buf[:self._n]
 
     # ---- images (imagedb.rs trait) -------------------------------------
 
@@ -113,9 +125,11 @@ class FeatureStore:
         FK ON DELETE CASCADE in the schema."""
         self._images.pop(image_id, None)
         keep = self._kp["image_id"] != image_id
+        m = int(keep.sum())
         for f in _KP_FIELDS:
-            self._kp[f] = self._kp[f][keep]
-        self._desc = self._desc[keep]
+            self._buf[f][:m] = self._buf[f][:self._n][keep]
+        self._desc_buf[:m] = self._desc_buf[:self._n][keep]
+        self._n = m
 
     # ---- keypoints (keypointdb.rs trait) -------------------------------
 
@@ -123,19 +137,33 @@ class FeatureStore:
                       octave, class_id, descriptors):
         """create_keypoint Multiple-batch insert (keypointdb.rs:15-26)."""
         n = len(x)
+        d = np.asarray(descriptors, np.uint8)
+        assert d.shape == (n, DESC_BYTES), d.shape
+        self._reserve(self._n + n)
         cols = dict(x=x, y=y, size=size, angle=angle, response=response,
                     octave=octave, class_id=class_id,
                     image_id=np.full(n, image_id, np.int32))
         for f in _KP_FIELDS:
-            arr = np.asarray(cols[f])
-            self._kp[f] = np.concatenate(
-                [self._kp[f], arr.astype(self._kp[f].dtype)])
-        d = np.asarray(descriptors, np.uint8)
-        assert d.shape == (n, DESC_BYTES), d.shape
-        self._desc = np.concatenate([self._desc, d])
+            self._buf[f][self._n:self._n + n] = np.asarray(cols[f])
+        self._desc_buf[self._n:self._n + n] = d
+        self._n += n
+
+    def _reserve(self, need: int):
+        """Grow the capacity buffers geometrically to hold `need` rows."""
+        cap = len(self._desc_buf)
+        if need <= cap:
+            return
+        new_cap = max(need, cap * 2, 1024)
+        for f in _KP_FIELDS:
+            buf = np.empty(new_cap, self._buf[f].dtype)
+            buf[:self._n] = self._buf[f][:self._n]
+            self._buf[f] = buf
+        dbuf = np.empty((new_cap, DESC_BYTES), np.uint8)
+        dbuf[:self._n] = self._desc_buf[:self._n]
+        self._desc_buf = dbuf
 
     def __len__(self):
-        return len(self._kp["x"])
+        return self._n
 
     def _ranked(self, mask: np.ndarray, limit: int):
         """Apply the reference's universal read ordering: response DESC,
@@ -285,8 +313,9 @@ class FeatureStore:
             manifest = json.load(f)
         data = np.load(os.path.join(path, "keypoints.npz"))
         for f_ in _KP_FIELDS:
-            store._kp[f_] = data[f_]
-        store._desc = data["desc"]
+            store._buf[f_] = np.ascontiguousarray(data[f_])
+        store._desc_buf = np.ascontiguousarray(data["desc"])
+        store._n = len(store._desc_buf)
         store._next_image_id = manifest["next_image_id"]
         for r in manifest["images"]:
             store._images[r["id"]] = ImageRecord(**r)

@@ -103,3 +103,90 @@ def test_numpy_fallback_equivalence(rng, tmp_path, monkeypatch):
     c_ref, d_ref = store.read_keypoints_from_coordinates(0, 500, 0, 500, 1)
     c_bin, d_bin = b.read_keypoints_from_coordinates(0, 500, 0, 500, 1)
     np.testing.assert_array_equal(d_ref, d_bin)
+
+
+def test_binary_append_segment(rng, tmp_path):
+    """append_binary_store: new tiles land as a new segment with remapped
+    image ids; merged queries equal a from-scratch export of the union
+    (insert semantics, imagedb.rs:14-29 / keypointdb.rs:15-26)."""
+    from cubesat_apds_tpu.store.binary_store import append_binary_store
+
+    s1 = _build_store(rng, n_imgs=2)
+    s2 = _build_store(rng, n_imgs=2)
+    write_binary_store(s1, str(tmp_path / "bin"))
+    append_binary_store(str(tmp_path / "bin"), s2)
+    b = BinaryFeatureStore(str(tmp_path / "bin"))
+
+    # Reference union built in RAM.
+    union = _build_store(rng, n_imgs=0)
+    for s in (s1, s2):
+        remap = {}
+        for r in sorted(s._images.values(), key=lambda r: r.id):
+            remap[r.id] = union.create_image(
+                r.x_start, r.y_start, r.x_end, r.y_end, r.level_of_detail)
+        cols, desc = s._kp, s._desc
+        for old, new in remap.items():
+            sel = cols["image_id"] == old
+            union.add_keypoints(
+                new, cols["x"][sel], cols["y"][sel], cols["size"][sel],
+                cols["angle"][sel], cols["response"][sel],
+                cols["octave"][sel], cols["class_id"][sel], desc[sel])
+
+    assert len(b) == len(union)
+    assert sorted(b.images) == sorted(union._images)
+    for lod in (0, 1):
+        c_ref, d_ref = union.read_keypoints_from_lod(lod)
+        c_bin, d_bin = b.read_keypoints_from_lod(lod)
+        np.testing.assert_array_equal(d_ref, d_bin)
+        np.testing.assert_allclose(c_ref["response"], c_bin["response"])
+        np.testing.assert_array_equal(c_ref["image_id"], c_bin["image_id"])
+    c_ref, d_ref = union.read_keypoints_from_coordinates(100, 700, 50, 800, 0)
+    c_bin, d_bin = b.read_keypoints_from_coordinates(100, 700, 50, 800, 0)
+    np.testing.assert_array_equal(d_ref, d_bin)
+
+
+def test_binary_cascaded_delete(rng, tmp_path):
+    """delete_image cascades to the image's keypoints in every query
+    path and survives a reopen (imagedb.rs:66-72 + FK cascade)."""
+    store = _build_store(rng, n_imgs=3)
+    write_binary_store(store, str(tmp_path / "bin"))
+    b = BinaryFeatureStore(str(tmp_path / "bin"))
+    n0 = len(b)
+    b.delete_image(2)
+    assert len(b) == n0 - 200
+    assert 2 not in b.images
+    c, d = b.read_keypoints_from_image_id(2)
+    assert len(d) == 0
+    for lod in (0, 1):
+        c, d = b.read_keypoints_from_lod(lod)
+        assert (c["image_id"] != 2).all()
+        assert (np.diff(c["response"]) <= 0).all()
+    # Mirror the delete in the RAM store: remaining rows must agree.
+    store.delete_image(2)
+    c_ref, d_ref = store.read_keypoints_from_lod(1)
+    c_bin, d_bin = b.read_keypoints_from_lod(1)
+    np.testing.assert_array_equal(d_ref, d_bin)
+    # Reopen: the delete is durable.
+    b2 = BinaryFeatureStore(str(tmp_path / "bin"))
+    assert len(b2) == n0 - 200
+    c, d = b2.read_keypoints_from_image_id(2)
+    assert len(d) == 0
+
+
+def test_binary_append_then_delete_old_segment(rng, tmp_path):
+    """Delete of a pre-append image leaves appended rows intact and the
+    cross-segment descriptor gather correct."""
+    from cubesat_apds_tpu.store.binary_store import append_binary_store
+
+    s1 = _build_store(rng, n_imgs=2)
+    s2 = _build_store(rng, n_imgs=1)
+    write_binary_store(s1, str(tmp_path / "bin"))
+    append_binary_store(str(tmp_path / "bin"), s2)
+    b = BinaryFeatureStore(str(tmp_path / "bin"))
+    b.delete_image(1)
+    assert len(b) == 2 * 200
+    # Appended image id is 3 (serial continuation).
+    c, d = b.read_keypoints_from_image_id(3)
+    assert len(d) == 200
+    np.testing.assert_array_equal(
+        np.sort(d, axis=None), np.sort(np.asarray(s2._desc), axis=None))
