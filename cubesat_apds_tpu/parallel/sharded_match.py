@@ -21,9 +21,13 @@ from cubesat_apds_tpu.ops import match as M
 
 def _local_then_merge(q_bits, db_bits_local, db_valid_local, axis: str):
     """Per-shard top-2 + cross-shard merge (runs inside shard_map)."""
-    shard_m = db_bits_local.shape[0]
-    idx = jax.lax.axis_index(axis)
     d0, d1, i0 = M.knn2(q_bits, db_bits_local, db_valid=db_valid_local)
+    return _merge_partials(d0, d1, i0, db_bits_local.shape[0], axis)
+
+
+def _merge_partials(d0, d1, i0, shard_m: int, axis: str):
+    """Cross-shard top-2 merge of per-shard partials (inside shard_map)."""
+    idx = jax.lax.axis_index(axis)
     i0_global = i0 + idx * shard_m
 
     # Gather the [Q] partials from every shard: [S, Q].
@@ -35,6 +39,8 @@ def _local_then_merge(q_bits, db_bits_local, db_valid_local, axis: str):
     # (d ≤ 512): invalid shards carry the 3e38 float sentinel — map it to
     # int32-max BEFORE the integer conversion.
     m_total = shard_m * jax.lax.axis_size(axis)
+    assert 512 * (m_total + 1) < 2**31 - 1, \
+        "merge keys overflow int32 beyond ~4.1M total rows"
     invalid = d0_all >= jnp.float32(3.0e38)
     d_i = jnp.where(invalid, 0, d0_all).astype(jnp.int32)
     key = d_i * m_total + i0_all.astype(jnp.int32)
@@ -67,6 +73,30 @@ def make_sharded_knn2(mesh: Mesh, axis: str = "tp"):
     )
     def sharded(q_bits, db_bits, db_valid):
         return _local_then_merge(q_bits, db_bits, db_valid, axis)
+
+    return sharded
+
+
+def make_sharded_knn2_blockwise(mesh: Mesh, block: int = 65536,
+                                axis: str = "tp"):
+    """Production-scale sharded top-2: the DB stays PACKED ([M, 61]
+    uint8, 61 B/descriptor in HBM) and sharded over `axis`; each chip
+    streams its shard through knn2_blockwise (per-block unpack on the
+    MXU), then partials merge over ICI — blockwise-inside-each-shard,
+    exactly the BASELINE config-4 shape at multi-chip scale."""
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def sharded(q_bits, db_packed_local, db_valid_local):
+        d0, d1, i0 = M.knn2_blockwise(q_bits, db_packed_local, block,
+                                      db_valid_local)
+        return _merge_partials(d0, d1, i0, db_packed_local.shape[0], axis)
 
     return sharded
 

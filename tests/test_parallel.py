@@ -139,3 +139,92 @@ def test_batch_localizer_matches_single_device(rng):
             np.testing.assert_allclose(
                 np.asarray(homog.H[i]), np.asarray(ref.homography.H),
                 atol=2e-2)
+
+
+def test_mesh_parallel_preprocess_matches_single_device(tmp_path, rng):
+    """Offline preprocess with a dp-sharded tile batch must produce the
+    SAME store as the single-device run (pure data parallelism — the
+    TPU-native replacement for the reference's rayon fan-out,
+    preprocessor main.rs:227-245)."""
+    from PIL import Image
+
+    from cubesat_apds_tpu.core.config import AkazeConfig, PipelineConfig
+    from cubesat_apds_tpu.io.mosaic import MosaicDataset
+    from cubesat_apds_tpu.pipelines.preprocess import preprocess
+
+    img = np.zeros((256, 256), np.float32)
+    for _ in range(60):
+        cy, cx = rng.integers(10, 220, 2)
+        s = int(rng.integers(6, 24))
+        img[cy:cy + s, cx:cx + s] = rng.uniform(0.2, 1.0)
+    rgb8 = (np.stack([img] * 3, -1) * 255).astype(np.uint8)
+    for name, sl in (("a", np.s_[:, :128]), ("b", np.s_[:, 128:])):
+        Image.fromarray(rgb8[sl]).save(
+            str(tmp_path / f"{name}.tif"),
+            tiffinfo={33550: (0.001, 0.001, 0.0),
+                      33922: (0.0, 0.0, 0.0,
+                              10.0 + (0.128 if name == "b" else 0.0),
+                              56.0, 0.0)})
+
+    ds = MosaicDataset.from_folder(str(tmp_path))
+    cfg = PipelineConfig(akaze=AkazeConfig(capacity=256))
+    # dp=1 vs dp=4 run the SAME padded batch shapes — the comparison
+    # isolates the dp sharding itself (per-tile math is independent, so
+    # the sharded run must be element-wise identical).
+    mesh1 = make_mesh(dp=1, tp=8)
+    store_ref, stats_ref = preprocess(ds, config=cfg, amount_lod=2,
+                                      tile_batch=4, mesh=mesh1)
+    mesh = make_mesh(dp=4, tp=2)
+    store_dp, stats_dp = preprocess(ds, config=cfg, amount_lod=2,
+                                    tile_batch=4, mesh=mesh)
+    assert stats_ref.keypoints == stats_dp.keypoints
+    assert len(store_ref) == len(store_dp)
+    # GSPMD partitioning changes CPU codegen slightly (vector widths per
+    # shard) → last-ULP float noise; the keypoint SETS must agree to
+    # far-sub-pixel tolerance and descriptors near-bit-exactly.
+    np.testing.assert_array_equal(store_ref._kp["image_id"],
+                                  store_dp._kp["image_id"])
+    for f in ("x", "y"):
+        np.testing.assert_allclose(store_ref._kp[f], store_dp._kp[f],
+                                   atol=1e-3)
+    np.testing.assert_allclose(store_ref._kp["response"],
+                               store_dp._kp["response"], rtol=1e-4)
+    same = store_ref._desc == store_dp._desc
+    assert same.mean() > 0.999, same.mean()
+
+
+def test_sharded_blockwise_1m_packed_matches_single_device(rng):
+    """Production-scale shard-boundary arithmetic: 1,048,576 PACKED
+    descriptor rows tp-sharded over 8 devices, blockwise inside each
+    shard — exact agreement (distances, winners, tie-breaks) with the
+    single-device packed blockwise pass (VERDICT r2 next #6 /
+    BASELINE config 4)."""
+    import jax.numpy as jnp
+
+    from cubesat_apds_tpu.parallel.sharded_match import (
+        make_sharded_knn2_blockwise)
+
+    mesh = make_mesh(dp=1, tp=8)
+    M_total = 1 << 20
+    q = _rand_desc(rng, 32)
+    db = rng.integers(0, 256, (M_total, DESC_BYTES), dtype=np.uint8)
+    # Planted structure: exact query copies deep in shards 3 and 7 (the
+    # copy at the LOWER global index must win), plus masked holes.
+    db[420_000] = q[0]
+    db[950_000] = q[0]
+    db[777_216] = q[1]
+    valid = np.ones(M_total, bool)
+    valid[::97] = False
+    valid[420_000] = valid[950_000] = valid[777_216] = True
+
+    qb = M.unpack_bits(q)
+    dbj = jnp.asarray(db)
+    vj = jnp.asarray(valid)
+    ref = [np.asarray(x) for x in M.knn2_blockwise(qb, dbj, 65536, vj)]
+    fn = make_sharded_knn2_blockwise(mesh, block=32768)
+    got = [np.asarray(x) for x in fn(qb, dbj, vj)]
+    np.testing.assert_array_equal(ref[0], got[0])
+    np.testing.assert_array_equal(ref[1], got[1])
+    np.testing.assert_array_equal(ref[2], got[2])
+    assert got[0][0] == 0 and got[2][0] == 420_000
+    assert got[0][1] == 0 and got[2][1] == 777_216
