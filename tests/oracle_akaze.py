@@ -17,6 +17,31 @@ isolates implementation defects rather than convention mismatches.
 
 Used by test_akaze_oracle.py to pin keypoint-set and descriptor-bit
 agreement goldens (VERDICT round-1 item 3).
+
+CONVENTION LEDGER (VERDICT round-2 item 4). cv2 5.0 in this image has no
+AKAZE (moved to contrib, not installable offline), so convention-level
+fidelity to OpenCV cannot be pinned by execution. Every discretization
+choice the published algorithm leaves open is enumerated here with its
+source and an honest note on OpenCV fidelity:
+
+| # | convention | choice here (= production) | source / OpenCV note |
+|---|---|---|---|
+| 1 | rounding of sample coords | floor(x+0.5), "round half away" on the positive domain | OpenCV `fRound` in features2d/src/kaze (int)(x+0.5f); exact match for the x≥0 coords used |
+| 2 | Gaussian border | replicate (edge value) | OpenCV kaze `gaussian_2D_convolution` passes BORDER_REPLICATE; matches |
+| 3 | Gaussian kernel radius | ceil(3σ) | OpenCV derives ksize from σ via its own formula (≈2(1+(σ−0.8)/0.3), odd-forced) — DIFFERENT truncation; a known, conceded deviation. Effect bounded by the ≥95% empirical agreement gates; tails beyond 3σ carry <1% of kernel mass |
+| 4 | Scharr kernels | unnormalized (3,10,3)⊗(−1,0,1), reflect-101 border | Alcantarilla BMVC'13 §3 uses Scharr first derivatives; OpenCV BORDER_DEFAULT = reflect-101 ("mirror", edge excluded); matches. Detection-time σ-scaling via derivative_factor per the paper |
+| 5 | contrast factor k | 70th percentile of nonzero |∇(G₁∗I)| over a 300-bin histogram on [0, hmax] | paper §3.1 + OpenCV `compute_k_percentile(…, 0.7, 1.0, 300)`; production recovers the same quantity by bisection (documented equivalent) |
+| 6 | FED τ schedule | τ_j = τ_max / (2cos²(π(2j+1)/(4n+2))), τ_max=0.25 | Grewenig, Weickert, Bruhn "From box filtering to fast explicit diffusion" (DAGM 2010) eq. (7); independent of OpenCV |
+| 7 | evolution level border | 2·sigma_size+1 px exclusion | OpenCV `Find_Scale_Space_Extrema` skips kp within `borders[i]` derived from the level's sampling step; the exact OpenCV border width differs per level — conceded approximation, affects only frame-edge keypoints |
+| 8 | NMS neighborhood | strict > over the 3×3 spatial window, same level; cross-level suppression within ±1 level at the same grid position | OpenCV AKAZE suppresses by point-DISTANCE (point.dist ≤ 0.5·sigma_size) over a keypoint list — a different mechanism that converges to the same extrema away from ties; conceded deviation, measured ≥95% set agreement |
+| 9 | sub-pixel refinement | 2nd-order quadric fit; reject offsets beyond 1 px | paper §3.2 + OpenCV `Do_Subpixel_Refinement` (discards when offset exceeds 1); matches |
+| 10 | orientation | 109-pt disc r<6·scale, σ=2.5·scale Gaussian weights, 42 windows of π/3 sliding by 0.15 rad, resultant-vector argmax | Alcantarilla ECCV'12 KAZE §4.2 (SURF-style) + OpenCV `Compute_Main_Orientation`; matches |
+| 11 | MLDB layout | pattern 10; grids ×{1, 2/3, 1/2} ceil'd; cell means of (Lt, rot ∂x, rot ∂y); channel-major pair comparisons; LSB-first packing | Yang & Cheng "LDB" (2012) + Alcantarilla BMVC'13 §4; OpenCV `MLDB_Full_Descriptor_Invoker` samples the full integer lattice per grid — matched here (441 shared samples, disjoint cell assignment) |
+| 12 | detection threshold | response > 0.001, det-Hessian with σ²-normalized derivatives | reference AKAZE params (feature_extraction/src/lib.rs:64-73) |
+
+Adversarial scenes (rotated / rescaled / natural-texture) in
+test_akaze_oracle.py exercise the conventions where they bite (off-axis
+sampling, cross-level assignment, dense texture ties).
 """
 
 from __future__ import annotations

@@ -55,6 +55,38 @@ def _scene_blobs(seed=3, n=256, k=30):
     return ((img - img.min()) / (img.max() - img.min())).astype(np.float32)
 
 
+def _scene_rotated(seed=3, n=256):
+    """Blocks scene rotated 25° (bilinear): every descriptor pattern is
+    sampled off-axis — exercises the rotated-lattice conventions
+    (oracle ledger #1, #10, #11)."""
+    img = ndimage.rotate(_scene_blocks(seed, n), 25.0, reshape=False,
+                         order=1, mode="constant")
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+def _scene_scaled(seed=3, n=256):
+    """Blocks scene rescaled ×1.6 and center-cropped: features land
+    between the dyadic octaves — exercises cross-level assignment and
+    the level-border convention (ledger #7, #8)."""
+    big = ndimage.zoom(_scene_blocks(seed, int(n * 1.0)), 1.6, order=1)
+    o = (big.shape[0] - n) // 2
+    return np.ascontiguousarray(big[o:o + n, o:o + n]).astype(np.float32)
+
+
+def _scene_texture(seed=5, n=256):
+    """Natural-image stand-in: multi-octave 1/f value noise (no bundled
+    photo exists offline — scipy.datasets needs network). Dense texture
+    at every scale produces near-tie extrema everywhere — exercises the
+    NMS tie conventions (ledger #8) and contrast percentile (#5)."""
+    rng = np.random.default_rng(seed)
+    img = np.zeros((n, n), np.float64)
+    for octv in range(1, 6):
+        s = n >> octv
+        layer = ndimage.zoom(rng.random((s, s)), n / s, order=3)
+        img += layer[:n, :n] / (2.0 ** octv)
+    return ((img - img.min()) / (img.max() - img.min())).astype(np.float32)
+
+
 def _jax_features(img, cfg=CFG_EXACT):
     feats = detect_and_compute(jnp.asarray(img), cfg)
     kv = np.asarray(feats.keypoints.valid)
@@ -71,10 +103,12 @@ def _coverage(a_xy, a_lvl, b_xy, b_lvl, tol=0.5):
     return float(((d <= tol) & (a_lvl == b_lvl[idx])).mean())
 
 
-@pytest.mark.parametrize("scene", ["noise", "blocks", "blobs"])
+@pytest.mark.parametrize("scene", ["noise", "blocks", "blobs",
+                                   "rotated", "scaled", "texture"])
 def test_oracle_agreement(scene):
     img = {"noise": _scene_noise, "blocks": _scene_blocks,
-           "blobs": _scene_blobs}[scene]()
+           "blobs": _scene_blobs, "rotated": _scene_rotated,
+           "scaled": _scene_scaled, "texture": _scene_texture}[scene]()
     kpts_o, desc_o = oracle.detect_and_compute(img)
     jx, jl, jd = _jax_features(img)
 

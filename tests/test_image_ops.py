@@ -36,7 +36,7 @@ def test_f32_to_u8_monotone():
 def test_band_merge_rgba_all_nan_alpha_zero():
     # Reference band_merger: all-NaN pixel → alpha 0 (mod.rs:346-378).
     bands = jnp.full((3, 2, 2), jnp.nan, jnp.float32)
-    bands = bands.at[:, 0, 0].set(jnp.array([0.5, 0.5, 0.5]))
+    bands = bands.at[:, 0, 0].set(jnp.array([0.5, 0.5, 0.5], jnp.float32))
     rgba = np.asarray(I.band_merge_rgba(bands, [0.0] * 3, [1.0] * 3))
     assert rgba.shape == (2, 2, 4)
     assert rgba[0, 0, 3] == 255

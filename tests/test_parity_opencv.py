@@ -291,3 +291,63 @@ def test_knn_k_parity(rng):
     d, i = M.knn_matches_k(q, db, k=4)
     np.testing.assert_array_equal(np.asarray(d), d_cv)
     np.testing.assert_array_equal(np.asarray(i), i_cv)
+
+
+def test_warp_perspective_parity(rng):
+    """warp_perspective vs cv2.warpPerspective INTER_LINEAR /
+    BORDER_CONSTANT (warp_image_perspective, homographier
+    mod.rs:271-300). cv2 quantizes sample coordinates to 1/32 px
+    (INTER_BITS=5), so parity on a smooth float image is to that
+    quantization, not bit-exact; out-of-source pixels must be exactly
+    the constant border on both sides."""
+    from scipy import ndimage
+
+    from cubesat_apds_tpu.ops.warp import warp_perspective
+
+    img = ndimage.gaussian_filter(
+        rng.random((120, 160)).astype(np.float32), 2.0)
+    H = np.array([[0.95, 0.08, 6.0],
+                  [-0.05, 1.04, -3.0],
+                  [1.5e-4, -8e-5, 1.0]], np.float64)
+    cv = cv2.warpPerspective(
+        img, H, (160, 120), flags=cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_CONSTANT, borderValue=0.0)
+    ours = np.asarray(warp_perspective(img, H, (120, 160)))
+
+    # Border-constant region: pixels whose source point is outside the
+    # image on both implementations must agree exactly (== 0).
+    Hinv = np.linalg.inv(H)
+    ys, xs = np.mgrid[0:120, 0:160]
+    p = np.stack([xs, ys, np.ones_like(xs)], -1) @ Hinv.T
+    sx = p[..., 0] / p[..., 2]
+    sy = p[..., 1] / p[..., 2]
+    outside = (sx < -1) | (sx > 160) | (sy < -1) | (sy > 120)
+    assert (ours[outside] == 0).all() and (cv[outside] == 0).all()
+
+    # Interior (≥1 px away from the in/out boundary): agreement to the
+    # 1/32-px coordinate quantization times the local gradient.
+    interior = (sx > 1) & (sx < 158) & (sy > 1) & (sy < 118)
+    diff = np.abs(ours - cv)[interior]
+    assert diff.max() < 0.02, diff.max()
+    assert diff.mean() < 0.002, diff.mean()
+
+
+def test_warp_perspective_channels_parity(rng):
+    """Multi-channel (RGBA-like) warp parity — the reference warps BGRA
+    Cmat<Vec4b> images (mod.rs:271-300); uint8 values compare within 1
+    count after cv2's fixed-point blend."""
+    from cubesat_apds_tpu.ops.warp import warp_perspective
+
+    img = rng.integers(0, 256, (64, 80, 4), dtype=np.uint8)
+    img = np.asarray(
+        __import__("scipy.ndimage", fromlist=["gaussian_filter"])
+        .gaussian_filter(img.astype(np.float32), (1.5, 1.5, 0)))
+    H = np.array([[1.02, -0.03, -2.0],
+                  [0.04, 0.97, 5.0],
+                  [-1e-4, 5e-5, 1.0]], np.float64)
+    cv = cv2.warpPerspective(img, H, (80, 64), flags=cv2.INTER_LINEAR,
+                             borderMode=cv2.BORDER_CONSTANT, borderValue=0)
+    ours = np.asarray(warp_perspective(img, H, (64, 80)))
+    assert ours.shape == cv.shape
+    # Same quantization argument, scaled by the 0..255 value range.
+    assert np.abs(ours - cv).max() < 255 * 0.02
