@@ -51,12 +51,23 @@ def _cmd_preprocess(args):
         tile_batch=args.tile_batch, elevation_path=args.elevation_path,
         progress=print)
     if args.binary:
-        from cubesat_apds_tpu.store.binary_store import write_binary_store
+        from cubesat_apds_tpu.store.binary_store import (
+            append_binary_store, write_binary_store)
 
-        write_binary_store(store, args.store)
+        import os
+
+        if args.append:
+            if not os.path.exists(os.path.join(args.store, "manifest.json")):
+                raise SystemExit(f"--append: no store at {args.store}")
+            append_binary_store(args.store, store)
+        else:
+            write_binary_store(store, args.store)
+    elif args.append:
+        raise SystemExit("--append requires --binary (segmented store)")
     else:
         store.save(args.store)
-    print(f"store saved -> {args.store}: {stats.keypoints} keypoints, "
+    verb = "appended to" if args.append else "saved ->"
+    print(f"store {verb} {args.store}: {stats.keypoints} keypoints, "
           f"{stats.tiles} tiles, {stats.lods} LoDs "
           f"({time.perf_counter() - t0:.1f}s)")
     return 0
@@ -178,6 +189,9 @@ def main(argv=None):
     pp.add_argument("--tile-batch", type=int, default=8)
     pp.add_argument("--binary", action="store_true",
                     help="write the mmap binary store (native queries)")
+    pp.add_argument("--append", action="store_true",
+                    help="append these tiles as a new segment of an "
+                         "existing --binary store (incremental DB growth)")
     pp.add_argument("-e", "--elevation-path")
     pp.set_defaults(fn=_cmd_preprocess)
 

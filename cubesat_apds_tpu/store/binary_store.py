@@ -143,6 +143,21 @@ def append_binary_store(path: str, store: FeatureStore):
         manifest = json.load(f)
     if manifest.get("version", 1) < 2:
         raise ValueError("cannot append to a version-1 store; re-export it")
+    # Keypoint xy live in the MOSAIC reference frame (dataset 1): an
+    # append from a differently-georeferenced mosaic would silently mix
+    # coordinate frames. Adopt geotransforms when the store has none;
+    # otherwise they must match.
+    import numpy as _np
+
+    for k, gt in store._geotransforms.items():
+        old = manifest["geotransforms"].get(str(k))
+        if old is None:
+            manifest["geotransforms"][str(k)] = _np.asarray(gt).tolist()
+        elif not _np.allclose(old, gt, rtol=0, atol=1e-12):
+            raise ValueError(
+                f"append geotransform mismatch for dataset {k}: store has "
+                f"{old}, appended data has {list(map(float, gt))} — "
+                "appended tiles must come from the same mosaic frame")
     seg_name = f"seg{len(manifest['segments'])}"
     offset = manifest["next_image_id"] - 1
     n = _write_segment(os.path.join(path, seg_name), store,

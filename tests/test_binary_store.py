@@ -190,3 +190,21 @@ def test_binary_append_then_delete_old_segment(rng, tmp_path):
     assert len(d) == 200
     np.testing.assert_array_equal(
         np.sort(d, axis=None), np.sort(np.asarray(s2._desc), axis=None))
+
+
+def test_binary_append_rejects_frame_mismatch(rng, tmp_path):
+    """Appending tiles from a differently-georeferenced mosaic must be
+    refused — keypoint xy are in the mosaic reference frame."""
+    from cubesat_apds_tpu.store.binary_store import append_binary_store
+
+    s1 = _build_store(rng, n_imgs=1)
+    s1.set_geotransform(1, [10.0, 0.001, 0, 56.0, 0, -0.001])
+    write_binary_store(s1, str(tmp_path / "bin"))
+    s2 = _build_store(rng, n_imgs=1)
+    s2.set_geotransform(1, [11.0, 0.001, 0, 57.0, 0, -0.001])
+    with pytest.raises(ValueError, match="geotransform mismatch"):
+        append_binary_store(str(tmp_path / "bin"), s2)
+    # Same frame appends fine.
+    s2.set_geotransform(1, [10.0, 0.001, 0, 56.0, 0, -0.001])
+    append_binary_store(str(tmp_path / "bin"), s2)
+    assert len(BinaryFeatureStore(str(tmp_path / "bin"))) == 400

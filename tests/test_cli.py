@@ -119,3 +119,45 @@ def test_cli_localize_multi_frame(scene, capsys):
     assert isinstance(out, list) and len(out) == 2
     assert out[0]["frame"] == f1 and out[1]["frame"] == f2
     assert out[0]["keypoints"] > 0
+
+
+def test_cli_preprocess_append_segment(scene, capsys, rng):
+    """--binary --append lands a second tile folder as a new segment of
+    the existing store; localize sees the union."""
+    tmp_path, tiles, img = scene
+    store_dir = str(tmp_path / "storeap")
+    rc = main(["preprocess", "--dataset", str(tiles), "--store", store_dir,
+               "--lod", "1", "--binary"])
+    assert rc == 0
+
+    # A second capture of the SAME mosaic frame (same geotransform,
+    # fresh content) — the supported append case.
+    img2 = np.roll(img, 31, axis=1)
+    rgb8 = (np.stack([img2] * 3, -1) * 255).astype(np.uint8)
+    d2 = tmp_path / "tiles2"
+    d2.mkdir()
+    write_geotiff(str(d2 / "t.tif"), rgb8, [10.0, 0.001, 0, 56.0, 0, -0.001])
+    rc = main(["preprocess", "--dataset", str(d2), "--store", store_dir,
+               "--lod", "1", "--binary", "--append"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "appended to" in out
+
+    from cubesat_apds_tpu.store.binary_store import BinaryFeatureStore
+
+    b = BinaryFeatureStore(store_dir)
+    assert len(b.manifest["segments"]) == 2
+    assert len(b.images) == 2
+    # Both segments' keypoints are reachable, response-ordered.
+    c, d = b.read_keypoints_from_lod(0)
+    assert set(np.unique(c["image_id"])) == {1, 2}
+    assert (np.diff(c["response"]) <= 0).all()
+
+    # --append without --binary refuses; --append on a missing store too.
+    with pytest.raises(SystemExit):
+        main(["preprocess", "--dataset", str(d2),
+              "--store", store_dir, "--lod", "1", "--append"])
+    with pytest.raises(SystemExit):
+        main(["preprocess", "--dataset", str(d2),
+              "--store", str(tmp_path / "nope"), "--lod", "1",
+              "--binary", "--append"])
