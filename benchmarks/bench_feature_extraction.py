@@ -75,7 +75,10 @@ def main():
         tiled = size > args.tile_threshold
         iters = args.iters if not tiled else max(args.iters // 5, 2)
         if tiled:
-            img_np = synth_satellite(size)
+            # ONE upload; per-iteration salting happens on device (the
+            # tiled path slices tile batches from the device-resident
+            # image — no per-batch host traffic).
+            img_dev = jnp.asarray(synth_satellite(size))
 
             def run(iters):
                 # Device-resident tiled merge (round 3): per-iteration
@@ -87,7 +90,7 @@ def main():
                 out = None
                 for i in range(iters):
                     out = detect_and_compute_tiled(
-                        img_np + np.float32((entropy + i) * 1e-7), cfg,
+                        img_dev + jnp.float32((entropy + i) * 1e-7), cfg,
                         tile=1024, overlap=64, tile_batch=4)
                     s = out.keypoints.response.sum()
                     acc = s if acc is None else acc + s

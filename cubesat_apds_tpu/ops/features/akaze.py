@@ -164,6 +164,17 @@ def detect_and_compute_batch(imgs, config: AkazeConfig = AkazeConfig(),
     return jax.vmap(fn)(jnp.asarray(imgs, jnp.float32))
 
 
+@functools.partial(jax.jit, static_argnames=("th", "tw"))
+def _slice_tile_batch(img, offsets, th: int, tw: int):
+    """Gather a batch of (th, tw) tiles from the DEVICE-RESIDENT image at
+    dynamic (x, y) offsets [B, 2] int32 — so the tiled path uploads the
+    full image ONCE instead of shipping every tile batch from the host
+    (through a remote tunnel that is O(tile-batches) round-trips)."""
+    def one(off):
+        return jax.lax.dynamic_slice(img, (off[1], off[0]), (th, tw))
+    return jax.vmap(one)(offsets)
+
+
 @jax.jit
 def _own_and_shift(feats: Features, offsets, bounds) -> Features:
     """Per-batch ownership filter, ON DEVICE: shift each tile's keypoints
@@ -272,10 +283,11 @@ def detect_and_compute_tiled(img, config: AkazeConfig = AkazeConfig(),
         OWNS it (overlap-interior ownership bands), so seam duplicates
         are excluded rather than deduplicated.
 
-    DEVICE-RESIDENT (round 3): every tile batch's features stay on
-    device; ownership masking, the global response top-K, and the seam
-    dedup all run in two jitted steps, and the host fetches ONE final
-    Features — O(tile-batches) uploads, O(1) downloads.
+    DEVICE-RESIDENT (round 3): the full image uploads ONCE and tile
+    batches are sliced from it on-device (_slice_tile_batch); every
+    tile batch's features stay on device; ownership masking, the global
+    response top-K, and the seam dedup all run in jitted steps, and the
+    host fetches ONE final Features — O(1) uploads, O(1) downloads.
 
     Returns one Features with coordinates in the full-image frame,
     response-sorted to `capacity` (default config.capacity).
@@ -285,14 +297,17 @@ def detect_and_compute_tiled(img, config: AkazeConfig = AkazeConfig(),
     from cubesat_apds_tpu.ops.features.scale_space import compute_k_percentile
 
     capacity = capacity or config.capacity
-    arr = np.asarray(img, np.float32)
+    if isinstance(img, jnp.ndarray) and img.dtype == jnp.float32:
+        arr = img                       # already device-resident
+    else:
+        arr = jnp.asarray(np.asarray(img, np.float32))
     H, W = arr.shape
     if H <= tile and W <= tile:
-        return detect_and_compute(jnp.asarray(arr), config, capacity)
+        return detect_and_compute(arr, config, capacity)
 
     dec = max(max(H, W) // 2048, 1)
     kcontrast = compute_k_percentile(
-        jnp.asarray(arr[::dec, ::dec]), config.kcontrast_percentile, 1.0,
+        arr[::dec, ::dec], config.kcontrast_percentile, 1.0,
         config.kcontrast_nbins)
 
     step = tile - overlap
@@ -314,26 +329,25 @@ def detect_and_compute_tiled(img, config: AkazeConfig = AkazeConfig(),
     offs = [(xi, yi) for yi in range(len(ys)) for xi in range(len(xs))]
     per_tile_cap = max(capacity // max(len(offs) // 2, 1), 256)
 
+    th, tw = min(tile, H), min(tile, W)
     parts: list[Features] = []
     for start in range(0, len(offs), tile_batch):
         chunk = offs[start:start + tile_batch]
-        batch = np.stack([arr[ys[yi]:ys[yi] + tile, xs[xi]:xs[xi] + tile]
-                          for xi, yi in chunk])
         offsets = np.array([[xs[xi], ys[yi]] for xi, yi in chunk],
                            np.float32)
         bounds = np.array([[xb[xi], xb[xi + 1], yb[yi], yb[yi + 1]]
                            for xi, yi in chunk], np.float32)
         if len(chunk) < tile_batch and len(offs) > tile_batch:
-            # Pad with the ACTUAL tile shape: images with one dimension
-            # ≤ tile yield rectangular tiles (e.g. 256×2000 at
-            # tile=512 → (256, 512) tiles). Padded rows own nothing.
+            # Pad with repeats of the first tile (sliced on device, so
+            # any in-bounds offset is free); padded rows own nothing
+            # (bounds −2 → every keypoint fails the ownership test).
             pad = tile_batch - len(chunk)
-            batch = np.concatenate(
-                [batch, np.zeros((pad,) + batch.shape[1:], np.float32)])
-            offsets = np.concatenate([offsets, np.zeros((pad, 2),
-                                                        np.float32)])
+            offsets = np.concatenate(
+                [offsets, np.repeat(offsets[:1], pad, axis=0)])
             bounds = np.concatenate([bounds, np.full((pad, 4), -2.0,
                                                      np.float32)])
+        batch = _slice_tile_batch(arr, jnp.asarray(offsets, jnp.int32),
+                                  th, tw)
         feats = detect_and_compute_batch(batch, config, per_tile_cap,
                                          kcontrast)
         parts.append(_own_and_shift(feats, jnp.asarray(offsets),

@@ -27,6 +27,7 @@ import numpy as np
 
 from cubesat_apds_tpu.core.config import AkazeConfig
 from cubesat_apds_tpu.core.types import Keypoints
+from cubesat_apds_tpu.ops.features.flat_gather import flat_take
 from cubesat_apds_tpu.ops.features.scale_space import LevelMeta, ScaleSpace
 from cubesat_apds_tpu.ops.resample import separable_conv2d
 
@@ -150,7 +151,8 @@ def detect_keypoints(ss: ScaleSpace, config: AkazeConfig = AkazeConfig(),
         ly_list.append(ly)
 
     # --- NMS per level + cross-level suppression. ---
-    cand_vals, cand_pos = [], []
+    cand_vals, cand_pos, cand_keys = [], [], []
+    key_offset = 0
     thr = jnp.float32(config.threshold)
     for i in range(n_levels):
         ldet = ldet_list[i]
@@ -214,7 +216,7 @@ def detect_keypoints(ss: ScaleSpace, config: AkazeConfig = AkazeConfig(),
         packed = jnp.stack(
             [offx_map, offy_map, jnp.zeros_like(offx_map),
              jnp.zeros_like(offx_map)], axis=-1).reshape(-1, 4)
-        off = packed[flat_idx]                             # [k, 4]
+        off = flat_take(packed, flat_idx)                  # [k, 4]
         offx = off[:, 0]
         offy = off[:, 1]
         refine_ok = (jnp.abs(offx) <= 1.0) & (jnp.abs(offy) <= 1.0)
@@ -226,6 +228,12 @@ def detect_keypoints(ss: ScaleSpace, config: AkazeConfig = AkazeConfig(),
 
         cand_vals.append(jnp.where(valid, v, -jnp.inf))
         cand_pos.append((xf, yf, i))
+        # Canonical identity of each candidate: its MAP position (level
+        # offset + flat pixel index) — NOT its rank in this level's
+        # top-k output, which is tie-order dependent and differs
+        # between the vmapped and single-frame lowerings.
+        cand_keys.append(flat_idx + jnp.int32(key_offset))
+        key_offset += h * w
 
     # --- Global top-K merge across levels. ---
     all_vals = jnp.concatenate(cand_vals)
@@ -235,11 +243,30 @@ def detect_keypoints(ss: ScaleSpace, config: AkazeConfig = AkazeConfig(),
         jnp.full(cand_vals[n].shape, cand_pos[n][2], jnp.int32)
         for n in range(n_levels)])
 
+    all_key = jnp.concatenate(cand_keys)
+
     k = min(capacity, all_vals.shape[0])
     top_vals, top_idx = jax.lax.top_k(all_vals, k)
-    sel_x = all_x[top_idx]
-    sel_y = all_y[top_idx]
-    sel_lvl = all_lvl[top_idx]
+    # One packed flat_take instead of three 1-D gathers (keeps the fast
+    # single-dim lowering under vmap; level index ≤16 is exact in f32).
+    cand = jnp.stack([all_x, all_y, all_lvl.astype(jnp.float32)], axis=-1)
+    sel = flat_take(cand, top_idx)
+    sel_key = flat_take(all_key[:, None], top_idx)[:, 0]
+    # Canonical tie order: lax.top_k breaks equal-response ties
+    # differently between the vmapped and single-frame lowerings
+    # (measured: mirror-symmetric scenes come out pair-swapped), and so
+    # do the PER-LEVEL top-k calls above — so `top_idx` (a rank in
+    # those lists) is itself lowering-dependent and cannot break ties.
+    # Re-sort the selected k by (response DESC, map position ASC) — an
+    # O(k log k) sort over ≤capacity rows — so batched serving is
+    # bit-identical to single-frame calls whenever the selected SET
+    # agrees (ties straddling the capacity cutoff remain ambiguous).
+    perm = jnp.lexsort((sel_key, -top_vals))
+    top_vals = top_vals[perm]
+    sel = sel[perm]
+    sel_x = sel[:, 0]
+    sel_y = sel[:, 1]
+    sel_lvl = sel[:, 2].astype(jnp.int32)
     valid = jnp.isfinite(top_vals)
 
     esigmas = jnp.asarray([m.esigma for m in meta], jnp.float32)
@@ -255,9 +282,15 @@ def detect_keypoints(ss: ScaleSpace, config: AkazeConfig = AkazeConfig(),
         size = jnp.pad(size, (0, pad))
         valid = jnp.pad(valid, (0, pad))
 
+    # Mask invalid slots at the source: their gathered values are
+    # whatever -inf tie the (possibly approximate) top-k happened to
+    # keep, and that garbage is NOT stable across lowerings (vmapped vs
+    # single compilations pick different ties). Downstream ops mask by
+    # `valid` anyway; zeroing here makes outputs bit-deterministic.
     kps = Keypoints(
-        xy=jnp.stack([sel_x, sel_y], axis=-1),
-        size=size,
+        xy=jnp.where(valid[:, None], jnp.stack([sel_x, sel_y], axis=-1),
+                     0.0),
+        size=jnp.where(valid, size, 0.0),
         angle=jnp.zeros((capacity,), jnp.float32),
         response=jnp.where(valid, top_vals, 0.0),
         octave=jnp.where(valid, octaves[jnp.clip(sel_lvl, 0, n_levels - 1)], 0),

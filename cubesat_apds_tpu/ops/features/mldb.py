@@ -203,11 +203,14 @@ def mldb_descriptors_fast(combined_stack, level_hw, n_levels,
     iy_all = jnp.concatenate(iy_parts, axis=1)            # [K, 29]
     ix_all = jnp.concatenate(ix_parts, axis=1)
     lvl_all = jnp.concatenate(lvl_parts, axis=1)
-    # Flat linearized gather — see gather_sampler (2.6× over 3-index).
+    # Flat linearized gather — see gather_sampler (2.6× over 3-index);
+    # flat_take keeps the single-dim form under vmap (batched serving).
+    from cubesat_apds_tpu.ops.features.flat_gather import flat_take
+
     L3, Hs_, Ws_ = combined_stack.shape[:3]
     flat = combined_stack.reshape(L3 * Hs_ * Ws_, combined_stack.shape[3])
     lin = (lvl_all * Hs_ + iy_all) * Ws_ + ix_all
-    vals = flat[lin].astype(jnp.float32)
+    vals = flat_take(flat, lin).astype(jnp.float32)
     di = vals[..., 0]
     rx = vals[..., 1]
     ry = vals[..., 2]

@@ -60,7 +60,10 @@ def gather_sampler(packed_stack, level_hw, lvl):
     gather ~2.6× faster than the equivalent 3-index gather (measured
     13.8 → 5.3 ms for the 1.13M-sample load, PERF.md round 3) — the
     values are bit-identical, only the indexing arithmetic moves into
-    cheap VPU integer ops."""
+    cheap VPU integer ops. flat_take keeps that single-dim form under
+    vmap (batched serving) by linearizing the batch axis too."""
+    from cubesat_apds_tpu.ops.features.flat_gather import flat_take
+
     L, H, W = packed_stack.shape[:3]
     flat = packed_stack.reshape(L * H * W, packed_stack.shape[3])
 
@@ -70,7 +73,7 @@ def gather_sampler(packed_stack, level_hw, lvl):
         ix_c = jnp.clip(ix, 0, ws - 1)
         iy_c = jnp.clip(iy, 0, hs - 1)
         lin = (lvl[:, None] * H + iy_c) * W + ix_c
-        return flat[lin].astype(jnp.float32)
+        return flat_take(flat, lin).astype(jnp.float32)
 
     return sample
 

@@ -138,6 +138,33 @@ def test_descriptors_discriminative(rng):
         assert np.unpackbits(d[0] ^ d[1]).sum() > 0
 
 
+def test_batched_equals_single(rng):
+    """vmapped detect_and_compute (detect_and_compute_batch — preprocess
+    tile batches, micro-batched streaming, dp serving) must be BIT-EXACT
+    per frame vs single-frame calls, in both descriptor modes. Guards
+    the custom-vmap flat_take rule (batch axis linearized into the
+    single-dim gather) against semantic drift."""
+    from cubesat_apds_tpu.ops.features.akaze import detect_and_compute_batch
+
+    img1 = _corners_img(rng)
+    img2 = np.roll(img1, 9, axis=0)
+    for mode in ("exact", "fast"):
+        cfg = AkazeConfig(capacity=256, descriptor_mode=mode)
+        f1 = detect_and_compute(img1, cfg)
+        f2 = detect_and_compute(img2, cfg)
+        fb = detect_and_compute_batch(np.stack([img1, img2]), cfg)
+        for single, b in ((f1, 0), (f2, 1)):
+            np.testing.assert_array_equal(
+                np.asarray(fb.descriptors[b]), np.asarray(single.descriptors),
+                err_msg=f"mode={mode} frame={b}")
+            np.testing.assert_array_equal(
+                np.asarray(fb.keypoints.valid[b]),
+                np.asarray(single.keypoints.valid))
+            np.testing.assert_allclose(
+                np.asarray(fb.keypoints.xy[b]),
+                np.asarray(single.keypoints.xy), atol=1e-5)
+
+
 def test_matching_shifted_image(rng):
     """End-to-end invariance: a translated copy must match heavily and
     the matched displacement must equal the shift."""
