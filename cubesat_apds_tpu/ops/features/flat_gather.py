@@ -30,6 +30,7 @@ per-sample cost as single-frame calls.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax.custom_batching import custom_vmap
 
@@ -43,10 +44,25 @@ def flat_take(flat, lin):
     return flat[lin]
 
 
+# Below this many indices per batch member, the per-gather dispatch of
+# the unrolled form costs more than the slow batched lowering it avoids
+# (measured: unrolling the 16 per-level 2048-index detect gathers took
+# the detect stage from +2.8 to +8.2 ms/frame at B=4, while the 900k-
+# index MLDB gather went from +9.4 to +4.1 — exp_r3d before/after).
+_UNROLL_MIN_INDICES = 32768
+
+
 @flat_take.def_vmap
 def _flat_take_vmap(axis_size, in_batched, flat, lin):
     flat_b, lin_b = in_batched
     if flat_b:
+        n_idx = (lin.size // axis_size) if lin_b else lin.size
+        if n_idx < _UNROLL_MIN_INDICES:
+            # Small gather: dominated by dispatch, not DRAM locality —
+            # take the ordinary batched lowering in one op.
+            if lin_b:
+                return jax.vmap(lambda f, l: f[l])(flat, lin), True
+            return jax.vmap(lambda f: f[lin])(flat), True
         # One gather per batch member, each on its own single-frame
         # table — keeps the random-access footprint (and so the
         # per-index cost) at the unbatched level; see module docstring.
