@@ -1,10 +1,12 @@
-"""Command-line interface: preprocess / localize / calibrate / bench.
+"""Command-line interface: preprocess / localize / stream / calibrate / bench.
 
 Replaces the reference's clap CLIs (preprocessor/src/main.rs:22-66,
-calibrator/src/main.rs:12-25) and adds the `localize` command the
-reference never shipped (SURVEY.md §1 gap). Flags keep the reference's
-names where they exist; `--database-url` becomes `--store` (a directory),
-`--cpu-num` becomes `--tile-batch` (the device batch width).
+calibrator/src/main.rs:12-25) and adds the `localize` and `stream`
+commands the reference never shipped (SURVEY.md §1 gap: the online
+frame→match→pose loop exists only as library pieces there). Flags keep
+the reference's names where they exist; `--database-url` becomes
+`--store` (a directory), `--cpu-num` becomes `--tile-batch` (the device
+batch width).
 """
 
 from __future__ import annotations
@@ -13,6 +15,37 @@ import argparse
 import json
 import sys
 import time
+
+
+def _open_store(path: str):
+    """Open either store backend by its on-disk signature."""
+    import os
+
+    if os.path.exists(os.path.join(path, "order.npy")):
+        from cubesat_apds_tpu.store.binary_store import BinaryFeatureStore
+
+        return BinaryFeatureStore(path)
+    from cubesat_apds_tpu.store.feature_store import FeatureStore
+
+    return FeatureStore.load(path)
+
+
+def _camera_from_args(camera_path, shape):
+    """CameraModel from a calibrate-produced json, or the ideal-camera
+    fallback derived from the frame geometry."""
+    from cubesat_apds_tpu.core.types import CameraModel
+
+    if camera_path:
+        import jax.numpy as jnp
+
+        with open(camera_path) as f:
+            c = json.load(f)
+        return CameraModel(K=jnp.asarray(c["K"], jnp.float32),
+                           dist=jnp.asarray(c.get("dist", [0] * 5),
+                                            jnp.float32))
+    h, w = shape
+    return CameraModel.ideal(float(max(h, w)), float(max(h, w)),
+                             w / 2.0, h / 2.0)
 
 
 def _cmd_preprocess(args):
@@ -78,41 +111,21 @@ def _cmd_localize(args):
     from PIL import Image
 
     from cubesat_apds_tpu.core.config import PipelineConfig
-    from cubesat_apds_tpu.core.types import CameraModel
     from cubesat_apds_tpu.pipelines.localize import Localizer
-    from cubesat_apds_tpu.store.feature_store import FeatureStore
 
-    import os
-
-    if os.path.exists(os.path.join(args.store, "order.npy")):
-        from cubesat_apds_tpu.store.binary_store import BinaryFeatureStore
-
-        store = BinaryFeatureStore(args.store)
-    else:
-        store = FeatureStore.load(args.store)
+    store = _open_store(args.store)
     frames = []
     for path in args.frame:
         with Image.open(path) as im:
             frames.append(np.asarray(im.convert("F"), np.float32) / 255.0)
-    if args.camera:
-        with open(args.camera) as f:
-            c = json.load(f)
-        import jax.numpy as jnp
-
-        camera = CameraModel(K=jnp.asarray(c["K"], jnp.float32),
-                             dist=jnp.asarray(c.get("dist", [0] * 5),
-                                              jnp.float32))
-    else:
-        # Fallback ideal camera per the FIRST frame's geometry; require
-        # uniform frame sizes so later frames aren't misnormalized by a
-        # wrong principal point (pass --camera for mixed sizes).
-        if len({f.shape for f in frames}) > 1:
-            raise SystemExit(
-                "frames have different sizes; the ideal-camera fallback "
-                "would misnormalize — pass --camera")
-        h, w = frames[0].shape
-        camera = CameraModel.ideal(float(max(h, w)), float(max(h, w)),
-                                   w / 2.0, h / 2.0)
+    # Ideal-camera fallback uses the FIRST frame's geometry; require
+    # uniform frame sizes so later frames aren't misnormalized by a
+    # wrong principal point (pass --camera for mixed sizes).
+    if not args.camera and len({f.shape for f in frames}) > 1:
+        raise SystemExit(
+            "frames have different sizes; the ideal-camera fallback "
+            "would misnormalize — pass --camera")
+    camera = _camera_from_args(args.camera, frames[0].shape)
     # The device DB is exported + uploaded ONCE; every frame reuses it
     # (Localizer — the serving path; multiple --frame args amortize the
     # store→device cost).
@@ -139,6 +152,82 @@ def _cmd_localize(args):
         results.append(out)
     print(json.dumps(results[0] if len(results) == 1 else results,
                      indent=2))
+    return 0
+
+
+def _cmd_stream(args):
+    import os
+
+    import numpy as np
+    from PIL import Image
+
+    from cubesat_apds_tpu.core.config import PipelineConfig
+    from cubesat_apds_tpu.pipelines.localize import load_device_db
+    from cubesat_apds_tpu.pipelines.stream import StreamingLocalizer
+
+    _EXTS = (".png", ".jpg", ".jpeg", ".tif", ".tiff")
+    paths = []
+    for spec in args.frames:
+        if os.path.isdir(spec):
+            paths += [os.path.join(spec, e) for e in sorted(os.listdir(spec))
+                      if e.lower().endswith(_EXTS)]
+        elif any(c in spec for c in "*?["):
+            import glob
+
+            paths += sorted(glob.glob(spec))   # no hits -> contributes none
+        elif os.path.exists(spec):
+            paths.append(spec)
+        else:
+            raise SystemExit(f"stream: no such frame: {spec}")
+    if not paths:
+        raise SystemExit("stream: no frames found")
+
+    store = _open_store(args.store)
+
+    def decode(path):
+        with Image.open(path) as im:
+            a = np.asarray(im.convert("L"), np.uint8)
+        if a.shape != first.shape:
+            raise SystemExit(
+                f"stream: {path} is {a.shape}, expected {first.shape} — "
+                "streamed frames must share one shape (one compiled step)")
+        return a
+
+    with Image.open(paths[0]) as im:
+        first = np.asarray(im.convert("L"), np.uint8)
+    camera = _camera_from_args(args.camera, first.shape)
+
+    db = load_device_db(store, args.lod)
+    s = StreamingLocalizer(db, camera, config=PipelineConfig(),
+                           solve_pose=db.has_world, batch=args.batch)
+    t0 = time.perf_counter()
+    n = 0
+    for res in s.run(iter(paths), preprocess=decode):
+        n += 1
+        out = {
+            "frame": paths[res.frame_id],
+            "keypoints": res.num_keypoints,
+            "matches": res.num_matches,
+            "homography_ok": res.homography_ok,
+            "homography": res.homography.tolist(),
+            "inliers": res.num_inliers,
+            "latency_s": round(res.latency_s, 4),
+        }
+        if res.rvec is not None:
+            out["pose_ok"] = res.pose_ok
+            out["rvec"] = res.rvec.tolist()
+            out["tvec"] = res.tvec.tolist()
+        print(json.dumps(out), flush=True)
+    wall = time.perf_counter() - t0
+    lat = s.times.values("total_latency")
+    summary = {
+        "frames": n,
+        "sustained_fps": round(n / max(wall, 1e-9), 2),
+        "p50_latency_s": round(float(np.percentile(lat, 50)), 4),
+        "p90_latency_s": round(float(np.percentile(lat, 90)), 4),
+        "batch": s.batch,
+    }
+    print(json.dumps({"summary": summary}))
     return 0
 
 
@@ -202,6 +291,19 @@ def main(argv=None):
     pl.add_argument("--camera", help="camera json (from calibrate)")
     pl.add_argument("--lod", type=int, default=0)
     pl.set_defaults(fn=_cmd_localize)
+
+    ps = sub.add_parser(
+        "stream", help="continuous frame stream -> pose (JSONL)")
+    ps.add_argument("--store", required=True)
+    ps.add_argument("--frames", required=True, nargs="+",
+                    help="frame files, globs, or directories (sorted); "
+                         "all frames must share one shape")
+    ps.add_argument("--batch", type=int, default=1,
+                    help="frames per device dispatch (amortizes the "
+                         "host<->device round trip)")
+    ps.add_argument("--camera", help="camera json (from calibrate)")
+    ps.add_argument("--lod", type=int, default=0)
+    ps.set_defaults(fn=_cmd_stream)
 
     pc = sub.add_parser("calibrate", help="camera intrinsics")
     pc.add_argument("img_path")

@@ -24,6 +24,10 @@ class StageTimes:
     def add(self, stage: str, seconds: float):
         self._samples[stage].append(seconds)
 
+    def values(self, stage: str) -> List[float]:
+        """Raw samples for one stage ([] if never recorded)."""
+        return list(self._samples.get(stage, []))
+
     @contextlib.contextmanager
     def measure(self, stage: str):
         t0 = time.perf_counter()

@@ -161,3 +161,46 @@ def test_cli_preprocess_append_segment(scene, capsys, rng):
         main(["preprocess", "--dataset", str(d2),
               "--store", str(tmp_path / "nope"), "--lod", "1",
               "--binary", "--append"])
+
+
+def test_cli_stream(scene, capsys):
+    """`stream` runs the micro-batched StreamingLocalizer over a frame
+    directory and prints one JSONL record per frame plus a summary."""
+    tmp_path, tiles, img = scene
+    store_dir = str(tmp_path / "sstore")
+    rc = main(["preprocess", "--dataset", str(tiles), "--store", store_dir,
+               "--lod", "1"])
+    assert rc == 0
+
+    from PIL import Image
+
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    names = []
+    for i in range(3):
+        p = str(frames_dir / f"f{i}.png")
+        Image.fromarray(
+            (np.roll(img, i * 2, axis=1) * 255).astype(np.uint8)).save(p)
+        names.append(p)
+    rc = main(["stream", "--store", store_dir, "--frames", str(frames_dir),
+               "--batch", "2"])
+    assert rc == 0
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    recs = [l for l in lines if "frame" in l]
+    assert [r["frame"] for r in recs] == names     # sorted order preserved
+    assert all(r["keypoints"] > 0 for r in recs)
+    summary = lines[-1]["summary"]
+    assert summary["frames"] == 3 and summary["batch"] == 2
+    assert summary["sustained_fps"] > 0
+
+    # Mismatched frame shapes refuse cleanly (one compiled step).
+    bad = str(frames_dir / "zz_bad.png")
+    Image.fromarray((img[:64, :64] * 255).astype(np.uint8)).save(bad)
+    with pytest.raises(SystemExit):
+        main(["stream", "--store", store_dir, "--frames", str(frames_dir)])
+
+    # No frames found refuses cleanly.
+    with pytest.raises(SystemExit):
+        main(["stream", "--store", store_dir,
+              "--frames", str(tmp_path / "empty_glob_*.png")])
