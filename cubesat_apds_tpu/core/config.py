@@ -84,6 +84,18 @@ class AkazeConfig:
     # patch materialization); "onehot" routes through patch extraction +
     # MXU one-hot contractions. Identical results (equivalence-tested).
     sampler: str = "gather"
+    # Adaptive capacity ladder for the orientation+descriptor stage: the
+    # per-keypoint gathers (the dominant cost) run over a lax.switch of
+    # capacity prefixes (rungs every max(capacity/n, 256) slots) sized
+    # to the LIVE keypoint count, so a frame with 1100 keypoints in a
+    # 2048-slot capacity pays ~5/8 of the gather wall. Exact: detection
+    # emits a response-sorted valid prefix, and slots past the count are
+    # masked zeros either way. 1 disables (single full-capacity branch);
+    # vmapped (batched) calls always use the full path — a switch under
+    # vmap runs all branches. Default OFF until the ladder is measured
+    # on the real TPU (an 8-branch switch also multiplies remote
+    # compile time) — see benchmarks/exp_r3g_adaptive.py.
+    adaptive_buckets: int = 1
 
     @property
     def num_levels(self) -> int:

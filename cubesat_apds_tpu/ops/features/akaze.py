@@ -56,6 +56,97 @@ def _packed_stack(lt: List[jax.Array], lx: List[jax.Array],
     return packed
 
 
+def _bucket_sizes(capacity: int, n: int) -> tuple:
+    """Linear capacity ladder: rungs every max(capacity/n, 256) slots
+    (smallest first, last == capacity). Gather cost is linear in the
+    prefix size, so even spacing bounds the mean wasted work at half a
+    rung; the 256 floor keeps small-capacity compiles single-branch."""
+    if n <= 1:
+        return (capacity,)
+    spacing = max(-(-capacity // n), 256)
+    spacing = -(-spacing // 128) * 128
+    sizes = set(range(spacing, capacity, spacing))
+    sizes.add(capacity)
+    return tuple(sorted(sizes))
+
+
+def _orient_describe(packed, level_hw, combined,
+                     xy, size, class_id, octave, valid,
+                     config: AkazeConfig):
+    """Orientation + MLDB descriptors for one keypoint block.
+
+    `combined` is the fast-mode blur-matched [3L, H, W, 4] stack (equal
+    to `packed` — unused — in exact mode). Returns (angle [K], desc
+    [K, 61]); invalid slots come out zeroed by both stages' masks.
+    """
+    # custom_vmap passes constants through as bare literals that reject
+    # tracer indexing — re-wrap.
+    level_hw = jnp.asarray(level_hw)
+    angle = compute_orientations(
+        packed, level_hw, xy, size, class_id, octave, valid,
+        mode=config.orientation_mode)
+    if config.descriptor_mode == "fast":
+        from cubesat_apds_tpu.ops.features.mldb import mldb_descriptors_fast
+
+        desc = mldb_descriptors_fast(
+            combined, level_hw, combined.shape[0] // 3, xy, size, angle,
+            class_id, octave, valid)
+    else:
+        desc = mldb_descriptors(
+            packed, level_hw, xy, size, angle, class_id, octave, valid)
+    return angle, desc
+
+
+def _adaptive_orient_describe(packed, level_hw, combined,
+                              xy, size, class_id, octave, valid,
+                              config: AkazeConfig, buckets: tuple):
+    """Data-proportional orientation+descriptor stage.
+
+    The per-keypoint gathers (the pipeline's dominant cost, PERF.md "the
+    gather wall") run over the static CAPACITY, but real frames fill a
+    fraction of it — detect_keypoints emits a response-sorted VALID
+    PREFIX, so processing the first K ≥ count slots is exact. A
+    `lax.switch` over a halving capacity ladder makes the gather cost
+    track the live keypoint count while every branch stays jit-static
+    (the TPU answer to the reference's naturally data-sized OpenCV loops,
+    feature_extraction/src/lib.rs:61-92).
+
+    Under `jax.vmap` (tile batches, micro-batched streaming) a switch
+    would execute EVERY branch and select — so the custom_vmap rule
+    reverts batched calls to the plain full-capacity path.
+    """
+    capacity = xy.shape[0]
+
+    @jax.custom_batching.custom_vmap
+    def go(packed, level_hw, combined, xy, size, class_id, octave, valid):
+        count = jnp.sum(valid)
+        idx = sum((count > b).astype(jnp.int32) for b in buckets[:-1])
+
+        def make(kb):
+            def branch(packed, level_hw, combined, xy, size, class_id,
+                       octave, valid):
+                a, d = _orient_describe(
+                    packed, level_hw, combined, xy[:kb], size[:kb],
+                    class_id[:kb], octave[:kb], valid[:kb], config)
+                pad = capacity - kb
+                return (jnp.pad(a, (0, pad)),
+                        jnp.pad(d, ((0, pad), (0, 0))))
+            return branch
+
+        return jax.lax.switch(idx, [make(b) for b in buckets],
+                              packed, level_hw, combined, xy, size,
+                              class_id, octave, valid)
+
+    @go.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        in_axes = tuple(0 if b else None for b in in_batched)
+        out = jax.vmap(
+            lambda *a: _orient_describe(*a, config), in_axes=in_axes)(*args)
+        return out, (True, True)
+
+    return go(packed, level_hw, combined, xy, size, class_id, octave, valid)
+
+
 @functools.partial(jax.jit, static_argnames=("config", "capacity"))
 def detect_and_compute(img, config: AkazeConfig = AkazeConfig(),
                        capacity: int | None = None,
@@ -107,17 +198,8 @@ def detect_and_compute(img, config: AkazeConfig = AkazeConfig(),
             return sample_patches(patches, iy, ix, row0, col0,
                                   level_hw, lvl)
 
-    angle = compute_orientations(
-        packed, level_hw, kps.xy, kps.size, kps.class_id,
-        kps.octave, kps.valid, sample_fn=sample_fn,
-        mode=config.orientation_mode)
-    kps = Keypoints(
-        xy=kps.xy, size=kps.size, angle=angle, response=kps.response,
-        octave=kps.octave, class_id=kps.class_id, valid=kps.valid)
-
     if config.descriptor_mode == "fast":
-        from cubesat_apds_tpu.ops.features.mldb import (
-            fast_blur_sigmas, mldb_descriptors_fast)
+        from cubesat_apds_tpu.ops.features.mldb import fast_blur_sigmas
 
         from cubesat_apds_tpu.ops.resample import gaussian_blur
 
@@ -142,6 +224,30 @@ def detect_and_compute(img, config: AkazeConfig = AkazeConfig(),
                 [b[0] for b in blurred], [b[1] for b in blurred],
                 [b[2] for b in blurred]))
         combined = jnp.concatenate(grid_stacks, axis=0)  # [3L, H, W, 4]
+    else:
+        combined = packed               # unused by the exact descriptor
+
+    buckets = _bucket_sizes(capacity, config.adaptive_buckets)
+    if sample_fn is None and len(buckets) > 1:
+        angle, desc = _adaptive_orient_describe(
+            packed, level_hw, combined, kps.xy, kps.size, kps.class_id,
+            kps.octave, kps.valid, config, buckets)
+        kps = Keypoints(
+            xy=kps.xy, size=kps.size, angle=angle, response=kps.response,
+            octave=kps.octave, class_id=kps.class_id, valid=kps.valid)
+        return Features(keypoints=kps, descriptors=desc)
+
+    angle = compute_orientations(
+        packed, level_hw, kps.xy, kps.size, kps.class_id,
+        kps.octave, kps.valid, sample_fn=sample_fn,
+        mode=config.orientation_mode)
+    kps = Keypoints(
+        xy=kps.xy, size=kps.size, angle=angle, response=kps.response,
+        octave=kps.octave, class_id=kps.class_id, valid=kps.valid)
+
+    if config.descriptor_mode == "fast":
+        from cubesat_apds_tpu.ops.features.mldb import mldb_descriptors_fast
+
         desc = mldb_descriptors_fast(
             combined, level_hw, len(ss.Lt), kps.xy, kps.size, kps.angle,
             kps.class_id, kps.octave, kps.valid)

@@ -9,8 +9,17 @@ whole cycle: 2 HBM transits total regardless of step count.
 Whole-image kernel (no spatial grid): diffusion is a 4-neighbour stencil
 with a sequential dependency across steps, so tiling would force halo
 exchanges per step. Images up to ~870k px f32 (measured footprint
-~18 B/px vs the 16 MB v5e scoped-VMEM limit) run fused; larger inputs
-(e.g. 1024² preprocessor tiles at octave 0) fall back to the XLA path.
+~18 B/px vs the 16 MB v5e scoped-VMEM limit) run fused.
+
+Larger images (1024²+ octave-0/1 levels) run the ROW-STRIP variant:
+information travels one row per explicit step, so a strip extended by
+`n_steps` halo rows on each side diffuses its interior EXACTLY — no
+per-step halo exchange needed when the halo covers the whole cycle.
+The strips (edge-padded at the true image boundary, where replicated
+rows carry zero flux = Neumann) are built once in XLA, the kernel runs
+over a grid of strips, and the interiors reassemble by reshape. HBM
+cost: ~ (1 + 2·halo/strip_h) image transits vs the XLA fallback's
+2·n_steps. Octave-0/1 cycles are short (3–9 steps), so halos stay thin.
 """
 
 from __future__ import annotations
@@ -89,20 +98,124 @@ def _fed_cycle_pallas(L, g, taus, n_steps: int):
     )(taus, L, g)
 
 
+def _strip_kernel(tau_ref, l_ref, g_ref, out_ref, scratch, *,
+                  strip_h: int, halo: int, h_true: int):
+    """FED cycle over one [1, sh2, W] strip; same stencil as the
+    whole-image kernel, but the y-shift clamps at the TRUE image
+    boundary (global row 0 / h_true−1), not just the strip edge.
+
+    Replicate-padded ghost rows are NOT Neumann once they evolve: after
+    one step a ghost row diverges from its source edge row (it misses
+    the edge row's interior flux), and from step 2 on it would feed
+    spurious flux back. Clamping the shift at the global boundary makes
+    the edge rows' zero-flux condition hold every step; ghost rows
+    beyond it evolve garbage that the clamp keeps out of [0, h_true)."""
+    n_steps = tau_ref.shape[0]
+    _, h, w = l_ref.shape
+    i = pl.program_id(0)
+    row0 = i * strip_h - halo  # global row of local row 0
+
+    g = g_ref[0]
+    scratch[:] = l_ref[0]
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + row0
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    def shift(x, dy, dx):
+        if dy != 0:
+            rolled = pltpu.roll(x, shift=(-dy) % h, axis=0)
+            edge = h_true - 1 if dy == 1 else 0
+            return jnp.where(row_ids == edge, x, rolled)
+        rolled = pltpu.roll(x, shift=(-dx) % w, axis=1)
+        edge = w - 1 if dx == 1 else 0
+        return jnp.where(col_ids == edge, x, rolled)
+
+    def step(k, _):
+        L = scratch[:]
+        tau = tau_ref[k]
+        contrib = (
+            (g + shift(g, 0, 1)) * (shift(L, 0, 1) - L)
+            + (g + shift(g, 0, -1)) * (shift(L, 0, -1) - L)
+            + (g + shift(g, 1, 0)) * (shift(L, 1, 0) - L)
+            + (g + shift(g, -1, 0)) * (shift(L, -1, 0) - L)
+        )
+        scratch[:] = L + 0.5 * tau * contrib
+        return 0
+
+    jax.lax.fori_loop(0, n_steps, step, 0)
+    out_ref[0] = scratch[:]
+
+
+def _strip_plan(h: int, w: int, n_steps: int):
+    """Choose (strip_h, halo, n_strips) so one [sh+2·halo, W] strip's
+    footprint fits the VMEM budget. Returns None when impossible (image
+    too wide) — caller falls back to XLA."""
+    halo = -(-n_steps // 8) * 8  # exactness needs halo ≥ n_steps
+    budget_rows = _VMEM_BUDGET_BYTES // (_VMEM_BYTES_PER_PIXEL * w)
+    strip_h = (budget_rows - 2 * halo) // 8 * 8
+    if strip_h < 8:
+        return None
+    strip_h = min(strip_h, -(-h // 8) * 8)
+    n_strips = -(-h // strip_h)
+    return strip_h, halo, n_strips
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "strip_h", "halo"))
+def _fed_cycle_strips(L, g, taus, n_steps: int, strip_h: int, halo: int):
+    h, w = L.shape
+    n_strips = -(-h // strip_h)
+    hp = n_strips * strip_h
+    # Pad content is irrelevant (the kernel clamps at the true global
+    # boundary); edge mode keeps values bounded.
+    Lp = jnp.pad(L, ((halo, hp - h + halo), (0, 0)), mode="edge")
+    gp = jnp.pad(g, ((halo, hp - h + halo), (0, 0)), mode="edge")
+    sh2 = strip_h + 2 * halo
+    strips_L = jnp.stack(
+        [jax.lax.slice_in_dim(Lp, i * strip_h, i * strip_h + sh2, axis=0)
+         for i in range(n_strips)])
+    strips_g = jnp.stack(
+        [jax.lax.slice_in_dim(gp, i * strip_h, i * strip_h + sh2, axis=0)
+         for i in range(n_strips)])
+    out = pl.pallas_call(
+        functools.partial(_strip_kernel, strip_h=strip_h, halo=halo,
+                          h_true=h),
+        grid=(n_strips,),
+        out_shape=jax.ShapeDtypeStruct((n_strips, sh2, w), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, sh2, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, sh2, w), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, sh2, w), lambda i: (i, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((sh2, w), jnp.float32)],
+    )(taus, strips_L, strips_g)
+    interior = out[:, halo:halo + strip_h, :].reshape(hp, w)
+    return interior[:h]
+
+
 def fed_cycle_fused(L, g, taus: np.ndarray):
     """Drop-in for scale_space.fed_cycle with VMEM residency.
 
-    Falls back to the XLA step loop when the image exceeds the VMEM
-    budget or Pallas lowering is unavailable (e.g. CPU test platform).
+    Dispatch: whole-image kernel when it fits VMEM; row-strip kernel
+    (exact, halo = cycle length) otherwise; XLA step loop on non-TPU
+    platforms or when even one strip row exceeds the budget.
     """
     from cubesat_apds_tpu.ops.features import scale_space as ss
 
     h, w = L.shape
     vmem_need = _VMEM_BYTES_PER_PIXEL * h * w
     on_tpu = jax.devices()[0].platform == "tpu"
-    if not on_tpu or vmem_need > _VMEM_BUDGET_BYTES:
+    if not on_tpu:
         return ss.fed_cycle(L, g, taus)
     taus_arr = jnp.asarray(np.asarray(taus, np.float32))
-    return _fed_cycle_pallas(jnp.asarray(L, jnp.float32),
+    if vmem_need <= _VMEM_BUDGET_BYTES:
+        return _fed_cycle_pallas(jnp.asarray(L, jnp.float32),
+                                 jnp.asarray(g, jnp.float32), taus_arr,
+                                 int(len(taus)))
+    plan = _strip_plan(h, w, int(len(taus)))
+    if plan is None:
+        return ss.fed_cycle(L, g, taus)
+    strip_h, halo, _ = plan
+    return _fed_cycle_strips(jnp.asarray(L, jnp.float32),
                              jnp.asarray(g, jnp.float32), taus_arr,
-                             int(len(taus)))
+                             int(len(taus)), strip_h, halo)

@@ -165,6 +165,33 @@ def test_batched_equals_single(rng):
                 np.asarray(single.keypoints.xy), atol=1e-5)
 
 
+def test_adaptive_buckets_equals_full(rng):
+    """The adaptive capacity ladder (lax.switch over response-sorted
+    valid-prefix sizes, ops/features/akaze.py) must be BIT-EXACT vs the
+    single full-capacity branch in both descriptor modes — the switch
+    only skips slots that are masked zeros either way."""
+    img = _corners_img(rng, n=256, k=24)
+    for mode in ("exact", "fast"):
+        cfg_a = AkazeConfig(capacity=1024, descriptor_mode=mode,
+                            adaptive_buckets=4)
+        cfg_f = AkazeConfig(capacity=1024, descriptor_mode=mode,
+                            adaptive_buckets=1)
+        fa = detect_and_compute(img, cfg_a)
+        ff = detect_and_compute(img, cfg_f)
+        valid = np.asarray(ff.keypoints.valid)
+        nv = valid.sum()
+        # The switch exercises a non-trivial rung: count below capacity.
+        assert 0 < nv < 1024
+        np.testing.assert_array_equal(
+            np.asarray(fa.keypoints.valid), valid, err_msg=f"mode={mode}")
+        np.testing.assert_array_equal(
+            np.asarray(fa.descriptors), np.asarray(ff.descriptors),
+            err_msg=f"mode={mode}")
+        np.testing.assert_array_equal(
+            np.asarray(fa.keypoints.angle), np.asarray(ff.keypoints.angle),
+            err_msg=f"mode={mode}")
+
+
 def test_matching_shifted_image(rng):
     """End-to-end invariance: a translated copy must match heavily and
     the matched displacement must equal the shift."""
