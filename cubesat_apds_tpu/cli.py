@@ -162,7 +162,8 @@ def _cmd_stream(args):
     from PIL import Image
 
     from cubesat_apds_tpu.core.config import PipelineConfig
-    from cubesat_apds_tpu.pipelines.localize import load_device_db
+    from cubesat_apds_tpu.pipelines.localize import (check_descriptor_mode,
+                                                     load_device_db)
     from cubesat_apds_tpu.pipelines.stream import StreamingLocalizer
 
     _EXTS = (".png", ".jpg", ".jpeg", ".tif", ".tiff")
@@ -197,8 +198,10 @@ def _cmd_stream(args):
         first = np.asarray(im.convert("L"), np.uint8)
     camera = _camera_from_args(args.camera, first.shape)
 
+    config = PipelineConfig()
+    check_descriptor_mode(store, config)
     db = load_device_db(store, args.lod)
-    s = StreamingLocalizer(db, camera, config=PipelineConfig(),
+    s = StreamingLocalizer(db, camera, config=config,
                            solve_pose=db.has_world, batch=args.batch)
     t0 = time.perf_counter()
     n = 0

@@ -106,7 +106,8 @@ def _adaptive_orient_describe(packed, level_hw, combined,
     gather wall") run over the static CAPACITY, but real frames fill a
     fraction of it — detect_keypoints emits a response-sorted VALID
     PREFIX, so processing the first K ≥ count slots is exact. A
-    `lax.switch` over a halving capacity ladder makes the gather cost
+    `lax.switch` over a linear capacity ladder (_bucket_sizes: rungs
+    every max(capacity/n, 256) slots) makes the gather cost
     track the live keypoint count while every branch stays jit-static
     (the TPU answer to the reference's naturally data-sized OpenCV loops,
     feature_extraction/src/lib.rs:61-92).
@@ -332,17 +333,23 @@ def _tiled_merge(xy, size, angle, response, octave, class_id, desc, valid,
 
     # Each cell exposes its TWO strongest alive candidates: one winner is
     # not enough — a cell whose strongest point sits ≥2 levels away would
-    # shadow a same-level duplicate behind it. Two rounds of
-    # (rebuild grids from survivors → kill) resolve the deeper
-    # stacked-candidate cases the first pass can miss.
+    # shadow a same-level duplicate behind it. The kill set is RECOMPUTED
+    # each round from the previous round's survivors (never accumulated:
+    # a candidate whose only killer itself dies must be revived — greedy
+    # rank-order semantics). This Jacobi iteration reaches the greedy
+    # fixpoint in rounds = chain length − 1; seam chains cap at 4
+    # candidates (≤4 tiles meet at a corner, and in-tile 3-D NMS allows
+    # only one candidate per tile inside the 0.5-px window), so 3 rounds
+    # are exact.
     kill = jnp.zeros(n, bool)
-    for _round in range(2):
+    for _round in range(3):
         alive_rank = jnp.where(valid & ~kill, rank_of, int_max)
         grid = jnp.full((img_h * img_w,), int_max, jnp.int32
                         ).at[lin].min(alive_rank)
         is_winner = grid[lin] == alive_rank
         grid2 = jnp.full((img_h * img_w,), int_max, jnp.int32).at[lin].min(
             jnp.where(is_winner, int_max, alive_rank))
+        new_kill = jnp.zeros(n, bool)
         for g in (grid, grid2):
             for dy in (-1, 0, 1):
                 for dx in (-1, 0, 1):
@@ -353,9 +360,11 @@ def _tiled_merge(xy, size, angle, response, octave, class_id, desc, valid,
                     widx = order[jnp.clip(wrank, 0, n - 1)]
                     d2 = ((xy[widx, 0] - xy[:, 0]) ** 2
                           + (xy[widx, 1] - xy[:, 1]) ** 2)
-                    kill = kill | (has & (wrank < rank_of) & (d2 < 0.25)
-                                   & (jnp.abs(class_id[widx]
-                                              - class_id) <= 1))
+                    new_kill = new_kill | (has & (wrank < rank_of)
+                                           & (d2 < 0.25)
+                                           & (jnp.abs(class_id[widx]
+                                                      - class_id) <= 1))
+        kill = new_kill
     resp2 = jnp.where(kill, -jnp.inf, resp)
     top = jnp.argsort(-resp2, stable=True)[:capacity]
     v = jnp.isfinite(resp2[top])

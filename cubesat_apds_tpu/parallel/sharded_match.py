@@ -38,9 +38,10 @@ def _merge_partials(d0, d1, i0, shard_m: int, axis: str):
     # Best across shards with lowest-global-index tie-break. int32 keys
     # (d ≤ 512): invalid shards carry the 3e38 float sentinel — map it to
     # int32-max BEFORE the integer conversion.
+    # Max key = 512·m_total + (m_total−1) = 513·m_total − 1.
     m_total = shard_m * jax.lax.axis_size(axis)
-    assert 512 * (m_total + 1) < 2**31 - 1, \
-        "merge keys overflow int32 beyond ~4.1M total rows"
+    assert 513 * m_total <= 2**31, \
+        "merge keys overflow int32 beyond ~4.18M total rows"
     invalid = d0_all >= jnp.float32(3.0e38)
     d_i = jnp.where(invalid, 0, d0_all).astype(jnp.int32)
     key = d_i * m_total + i0_all.astype(jnp.int32)

@@ -145,11 +145,30 @@ def solve_pose_recentered(db_obj_points, img_points, matches, camera,
         inliers=pose.inliers, num_inliers=pose.num_inliers, ok=pose.ok)
 
 
+def check_descriptor_mode(store, config: PipelineConfig):
+    """Refuse a store/config descriptor-mode mismatch.
+
+    Exact and fast MLDB sampling produce incompatible bit patterns; a
+    frame described in one mode matched against a DB built in the other
+    collapses to near-zero ratio matches with no other symptom. Stores
+    record their mode at preprocess time (None = pre-provenance store,
+    accepted as-is)."""
+    mode = getattr(store, "descriptor_mode", None)
+    want = config.akaze.descriptor_mode
+    if mode is not None and mode != want:
+        raise ValueError(
+            f"store was built with descriptor_mode='{mode}' but the "
+            f"pipeline config uses '{want}' — descriptors across modes "
+            f"don't match; pass a config with descriptor_mode='{mode}' "
+            "or rebuild the store")
+
+
 def localize_frame(frame, store: FeatureStore, camera: CameraModel,
                    lod: int = 0, config: PipelineConfig = PipelineConfig(),
                    solve_pose: Optional[bool] = None) -> LocalizationResult:
     """Convenience host wrapper: export DB (cached by caller ideally) and
     run the jitted pipeline."""
+    check_descriptor_mode(store, config)
     db = load_device_db(store, lod)
     if solve_pose is None:
         solve_pose = db.has_world
@@ -170,6 +189,7 @@ class Localizer:
     def __init__(self, store, camera: CameraModel,
                  config: PipelineConfig = PipelineConfig(),
                  pad_multiple: int = 2048):
+        check_descriptor_mode(store, config)
         self.store = store
         self.camera = camera
         self.config = config
@@ -211,6 +231,7 @@ def localize_coarse_to_fine(frame, store, camera: CameraModel,
     """
     import numpy as np
 
+    check_descriptor_mode(store, config)
     frame = jnp.asarray(frame, jnp.float32)
     lods = sorted({r.level_of_detail for r in store.images.values()}) \
         if hasattr(store, "images") else \

@@ -56,6 +56,16 @@ def preprocess(
     sharded run is element-wise identical to the single-device run.
     """
     store = store or FeatureStore()
+    # Stamp descriptor provenance: exact and fast descriptors don't mix,
+    # so the store records which mode built it (checked at serve time).
+    mode = config.akaze.descriptor_mode
+    if store.descriptor_mode is not None and store.descriptor_mode != mode:
+        raise ValueError(
+            f"store holds descriptor_mode='{store.descriptor_mode}' "
+            f"descriptors but config.akaze.descriptor_mode='{mode}' — "
+            "mixed-mode descriptors don't match; use a matching config "
+            "or a fresh store")
+    store.descriptor_mode = mode
     stats = PreprocessStats()
     log = progress or (lambda s: None)
 
@@ -94,9 +104,15 @@ def preprocess(
                 hh = min(1024, e.height - y0)
                 raster[y0:y0 + hh] = e.read_window(0, y0, e.width, hh,
                                                    (1,))[0]
+                # NaN-fix per chunk, in place: a whole-raster
+                # nan_to_num would materialize a second DEM-sized copy,
+                # defeating the streaming read above.
+                np.nan_to_num(raster[y0:y0 + hh], copy=False)
         else:
-            raster = e.bands[0]
-        store.set_elevation(np.nan_to_num(raster), e.geotransform)
+            # Eager mosaic: the band is the dataset's own array — don't
+            # mutate it; the copy here is bounded by data already in RAM.
+            raster = np.nan_to_num(e.bands[0])
+        store.set_elevation(raster, e.geotransform)
 
     grid = lod_tile_grid(width, height, amount_lod)
 

@@ -33,23 +33,22 @@ from cubesat_apds_tpu.pipelines.localize import DeviceDb, localize_frame_jit
 from cubesat_apds_tpu.utils.profiling import StageTimes
 
 
-@functools.partial(jax.jit, static_argnames=("config", "solve_pose"))
-def _localize_packed(frame, db, camera, config, solve_pose):
-    """Localize and PACK every scalar output into one [22] f32 vector.
+def _pack_outputs(h, num_matches, num_keypoints, pose):
+    """Pack every scalar output into ONE [22] f32 vector: H (0–8),
+    h_ok/h_inliers/matches/keypoints (9–12), rvec (13–15), tvec (16–18),
+    pose_ok (19), pose_inliers (20), pad (21).
 
+    The SINGLE definition of the packed layout — `_unpack` is the only
+    consumer; both the single-frame and mesh-batched steps route here.
     One device array = ONE host fetch per frame; fetching the result
     pytree field-by-field costs a round trip per leaf (which dominates
     sustained throughput on remote-attached TPUs).
     """
-    if frame.dtype == jnp.uint8:
-        frame = frame.astype(jnp.float32) / 255.0
-    r = localize_frame_jit(frame, db, camera, config, solve_pose)
-    pose = r.pose
     tail = [
-        jnp.asarray([r.homography.ok], jnp.float32),
-        jnp.asarray([r.homography.num_inliers], jnp.float32),
-        jnp.asarray([r.num_matches], jnp.float32),
-        jnp.asarray([r.num_keypoints], jnp.float32),
+        jnp.asarray([h.ok], jnp.float32),
+        jnp.asarray([h.num_inliers], jnp.float32),
+        jnp.asarray([num_matches], jnp.float32),
+        jnp.asarray([num_keypoints], jnp.float32),
     ]
     if pose is not None:
         tail += [pose.rvec, pose.tvec,
@@ -57,8 +56,18 @@ def _localize_packed(frame, db, camera, config, solve_pose):
                  jnp.asarray([pose.num_inliers], jnp.float32)]
     else:
         tail += [jnp.zeros(3), jnp.zeros(3), jnp.zeros(1), jnp.zeros(1)]
-    return jnp.concatenate([r.homography.H.reshape(-1).astype(jnp.float32)]
+    return jnp.concatenate([h.H.reshape(-1).astype(jnp.float32)]
                            + [t.astype(jnp.float32) for t in tail])
+
+
+@functools.partial(jax.jit, static_argnames=("config", "solve_pose"))
+def _localize_packed(frame, db, camera, config, solve_pose):
+    """Localize one frame → the [22] packed vector (see _pack_outputs)."""
+    if frame.dtype == jnp.uint8:
+        frame = frame.astype(jnp.float32) / 255.0
+    r = localize_frame_jit(frame, db, camera, config, solve_pose)
+    return _pack_outputs(r.homography, r.num_matches, r.num_keypoints,
+                         r.pose)
 
 
 def _make_packed_batch_step(mesh, camera, config, solve_pose):
@@ -96,28 +105,15 @@ def _make_packed_batch_step(mesh, camera, config, solve_pose):
             m = knn_match_bits(unpack_bits(desc), db_bits,
                                ratio=config.match.ratio, q_valid=q_valid,
                                db_valid=db.valid, q_block=q_block)
-            q_pts, _t = matched_points(kxy, db.xy, m)
-            h = find_homography_ransac(q_pts, db.xy[m.train_idx],
-                                       valid=m.valid, config=config.ransac)
-            tail = [
-                jnp.asarray([h.ok], jnp.float32),
-                jnp.asarray([h.num_inliers], jnp.float32),
-                jnp.asarray([m.count()], jnp.float32),
-                jnp.asarray([jnp.sum(q_valid.astype(jnp.int32))],
-                            jnp.float32),
-            ]
+            q_pts, t_pts = matched_points(kxy, db.xy, m)
+            h = find_homography_ransac(q_pts, t_pts, valid=m.valid,
+                                       config=config.ransac)
+            pose = None
             if solve_pose:
-                p = solve_pose_recentered(db.obj_points, q_pts, m, camera,
-                                          config.pnp)
-                tail += [p.rvec, p.tvec,
-                         jnp.asarray([p.ok], jnp.float32),
-                         jnp.asarray([p.num_inliers], jnp.float32)]
-            else:
-                tail += [jnp.zeros(3), jnp.zeros(3), jnp.zeros(1),
-                         jnp.zeros(1)]
-            return jnp.concatenate(
-                [h.H.reshape(-1).astype(jnp.float32)]
-                + [t.astype(jnp.float32) for t in tail])
+                pose = solve_pose_recentered(db.obj_points, q_pts, m,
+                                             camera, config.pnp)
+            return _pack_outputs(h, m.count(),
+                                 jnp.sum(q_valid.astype(jnp.int32)), pose)
 
         return jax.vmap(one)(feats.descriptors, kp.valid, kp.xy)
 
@@ -267,7 +263,10 @@ class StreamingLocalizer:
             while len(pend) < self.batch:          # pad the tail batch
                 pend.append(pend[-1])
             ids = [p[0] for p in pend]
-            t_enq = pend[0][2]
+            # Per-frame enqueue times: latency is measured from each
+            # frame's OWN enqueue, not the batch head's (a slow producer
+            # would otherwise inflate frames 2..B by the batch-fill time).
+            t_enq = [p[2] for p in pend]
             t0 = time.perf_counter()
             batch_arr = jnp.stack([p[1] for p in pend])
             out = self._device_step_batch(batch_arr)
@@ -285,7 +284,7 @@ class StreamingLocalizer:
         self.times.add("device_wait", time.perf_counter() - t0)
         now = time.perf_counter()
         for b in range(n_real):
-            res = self._unpack(ids[b], packed[b], now - t_enq)
+            res = self._unpack(ids[b], packed[b], now - t_enq[b])
             self.times.add("total_latency", res.latency_s)
             yield res
 

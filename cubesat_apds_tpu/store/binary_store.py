@@ -36,8 +36,7 @@ _COLS = ("x", "y", "size", "angle", "response", "octave", "class_id",
 
 
 def _write_segment(seg_dir: str, store: FeatureStore,
-                   image_id_offset: int = 0,
-                   lod_of_image: Optional[Dict[int, int]] = None) -> int:
+                   image_id_offset: int = 0) -> int:
     """Write one immutable keypoint segment from a FeatureStore's rows.
 
     Returns the number of rows written. image ids are shifted by
@@ -55,9 +54,8 @@ def _write_segment(seg_dir: str, store: FeatureStore,
             np.ascontiguousarray(store._desc))
 
     # Denormalized per-keypoint LoD (joins are a luxury of SQL).
-    if lod_of_image is None:
-        lod_of_image = {r.id + image_id_offset: r.level_of_detail
-                        for r in store._images.values()}
+    lod_of_image = {r.id + image_id_offset: r.level_of_detail
+                    for r in store._images.values()}
     lod = np.array([lod_of_image.get(int(i) + image_id_offset, -1)
                     for i in store._kp["image_id"]], np.int32)
     np.save(os.path.join(seg_dir, "lod.npy"), lod)
@@ -120,6 +118,7 @@ def write_binary_store(store: FeatureStore, path: str):
         "geotransforms": {str(k): v.tolist()
                           for k, v in store._geotransforms.items()},
         "has_elevation": store._elevation is not None,
+        "descriptor_mode": store.descriptor_mode,
     }
     np.save(os.path.join(path, "order.npy"),
             _merged_order(path, manifest["segments"]))
@@ -158,6 +157,16 @@ def append_binary_store(path: str, store: FeatureStore):
                 f"append geotransform mismatch for dataset {k}: store has "
                 f"{old}, appended data has {list(map(float, gt))} — "
                 "appended tiles must come from the same mosaic frame")
+    # Descriptor-mode provenance must agree across segments (exact and
+    # fast descriptors don't match each other); adopt when unknown.
+    old_mode = manifest.get("descriptor_mode")
+    if old_mode is not None and store.descriptor_mode is not None \
+            and old_mode != store.descriptor_mode:
+        raise ValueError(
+            f"append descriptor_mode mismatch: store was built with "
+            f"'{old_mode}', appended data with '{store.descriptor_mode}'")
+    manifest["descriptor_mode"] = old_mode or store.descriptor_mode
+
     seg_name = f"seg{len(manifest['segments'])}"
     offset = manifest["next_image_id"] - 1
     n = _write_segment(os.path.join(path, seg_name), store,
@@ -196,6 +205,8 @@ class BinaryFeatureStore:
             seg_dirs = [path]
         self.n = sum(s["n"] for s in self.segments)
         self._offsets = np.cumsum([0] + [s["n"] for s in self.segments])
+        # Provenance (see FeatureStore.descriptor_mode); None = unknown.
+        self.descriptor_mode = self.manifest.get("descriptor_mode")
 
         def cat(name, dtype=None):
             parts = [np.load(os.path.join(d, name), mmap_mode="r")

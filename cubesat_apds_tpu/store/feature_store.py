@@ -79,6 +79,12 @@ class FeatureStore:
         self._geotransforms: Dict[int, np.ndarray] = {}   # dataset_id → [6]
         self._elevation: Optional[np.ndarray] = None      # [H, W] float32
         self._elevation_gt: Optional[np.ndarray] = None   # [6]
+        # Provenance: which AKAZE descriptor_mode produced the stored
+        # descriptors ("exact"/"fast"). Descriptors across modes don't
+        # mix — the serving path refuses a store/config mismatch instead
+        # of silently matching garbage. None = unknown (pre-provenance
+        # store).
+        self.descriptor_mode: Optional[str] = None
 
     @property
     def _kp(self) -> Dict[str, np.ndarray]:
@@ -299,6 +305,7 @@ class FeatureStore:
             "geotransforms": {str(k): v.tolist()
                               for k, v in self._geotransforms.items()},
             "has_elevation": self._elevation is not None,
+            "descriptor_mode": self.descriptor_mode,
         }
         if self._elevation is not None:
             np.savez_compressed(os.path.join(path, "elevation.npz"),
@@ -325,4 +332,5 @@ class FeatureStore:
             el = np.load(os.path.join(path, "elevation.npz"))
             store._elevation = el["raster"]
             store._elevation_gt = el["gt"]
+        store.descriptor_mode = manifest.get("descriptor_mode")
         return store

@@ -327,3 +327,30 @@ def test_tiled_matches_monolithic_64k_capacity(rng):
     probe = mxy[~seam]
     d, _ = cKDTree(txy).query(probe, k=1)
     assert (d < 1.0).mean() > 0.95, f"recovered {(d < 1.0).mean():.3f}"
+
+
+def test_tiled_merge_seam_dedup_is_greedy():
+    """Seam dedup must match greedy rank-order suppression: a candidate
+    whose only stronger neighbor is ITSELF suppressed survives (kill
+    sets are recomputed per round, not accumulated). Chain A>B>C>D with
+    adjacent pairs within 0.5 px: greedy keeps {A, C}."""
+    from cubesat_apds_tpu.core.config import DESC_BYTES
+    from cubesat_apds_tpu.ops.features.akaze import _tiled_merge
+
+    n = 4
+    xy = jnp.asarray([[10.0, 10.0], [10.4, 10.0],
+                      [10.8, 10.0], [11.2, 10.0]], jnp.float32)
+    response = jnp.asarray([4.0, 3.0, 2.0, 1.0], jnp.float32)
+    zeros_f = jnp.zeros(n, jnp.float32)
+    zeros_i = jnp.zeros(n, jnp.int32)
+    desc = jnp.tile(jnp.arange(n, dtype=jnp.uint8)[:, None],
+                    (1, DESC_BYTES))
+    out = _tiled_merge(xy, zeros_f + 4.8, zeros_f, response, zeros_i,
+                       zeros_i, desc, jnp.ones(n, bool),
+                       img_h=32, img_w=32, capacity=4)
+    kp = out.keypoints
+    kept_x = sorted(np.asarray(kp.xy[kp.valid, 0]).tolist())
+    np.testing.assert_allclose(kept_x, [10.0, 10.8], atol=1e-5)
+    # Descriptors must follow their keypoints through the merge.
+    kept_desc = np.asarray(out.descriptors[kp.valid, 0])
+    assert sorted(kept_desc.tolist()) == [0, 2]

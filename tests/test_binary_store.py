@@ -208,3 +208,54 @@ def test_binary_append_rejects_frame_mismatch(rng, tmp_path):
     s2.set_geotransform(1, [10.0, 0.001, 0, 56.0, 0, -0.001])
     append_binary_store(str(tmp_path / "bin"), s2)
     assert len(BinaryFeatureStore(str(tmp_path / "bin"))) == 400
+
+
+def test_descriptor_mode_provenance(rng, tmp_path):
+    """Stores record which AKAZE descriptor_mode built them; the serving
+    path refuses a store/config mismatch (silently matching exact
+    descriptors against a fast-mode DB yields near-zero matches with no
+    other symptom). Appends must agree with the existing store."""
+    import dataclasses
+
+    from cubesat_apds_tpu.core.config import PipelineConfig
+    from cubesat_apds_tpu.core.types import CameraModel
+    from cubesat_apds_tpu.pipelines.localize import (Localizer,
+                                                     check_descriptor_mode)
+    from cubesat_apds_tpu.store.binary_store import append_binary_store
+
+    store = _build_store(rng)
+    store.descriptor_mode = "fast"
+
+    # npz round-trip keeps the stamp.
+    store.save(str(tmp_path / "npz"))
+    loaded = FeatureStore.load(str(tmp_path / "npz"))
+    assert loaded.descriptor_mode == "fast"
+
+    # binary round-trip keeps the stamp.
+    write_binary_store(store, str(tmp_path / "bin"))
+    b = BinaryFeatureStore(str(tmp_path / "bin"))
+    assert b.descriptor_mode == "fast"
+
+    exact_cfg = PipelineConfig()
+    assert exact_cfg.akaze.descriptor_mode == "exact"
+    fast_cfg = dataclasses.replace(
+        exact_cfg, akaze=dataclasses.replace(exact_cfg.akaze,
+                                             descriptor_mode="fast"))
+    cam = CameraModel.ideal(100.0, 100.0, 50.0, 50.0)
+    for s in (loaded, b):
+        with pytest.raises(ValueError, match="descriptor_mode"):
+            Localizer(s, cam, config=exact_cfg)
+        Localizer(s, cam, config=fast_cfg)          # matching: fine
+    # Unknown provenance (pre-provenance store) is accepted as-is.
+    unknown = _build_store(rng)
+    assert unknown.descriptor_mode is None
+    check_descriptor_mode(unknown, exact_cfg)
+
+    # Append with conflicting provenance is refused; matching is fine.
+    extra = _build_store(rng)
+    extra.descriptor_mode = "exact"
+    with pytest.raises(ValueError, match="descriptor_mode"):
+        append_binary_store(str(tmp_path / "bin"), extra)
+    extra.descriptor_mode = "fast"
+    append_binary_store(str(tmp_path / "bin"), extra)
+    assert BinaryFeatureStore(str(tmp_path / "bin")).descriptor_mode == "fast"
