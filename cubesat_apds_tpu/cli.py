@@ -111,7 +111,8 @@ def _cmd_localize(args):
     from PIL import Image
 
     from cubesat_apds_tpu.core.config import PipelineConfig
-    from cubesat_apds_tpu.pipelines.localize import Localizer
+    from cubesat_apds_tpu.pipelines.localize import (
+        Localizer, localize_coarse_to_fine)
 
     store = _open_store(args.store)
     frames = []
@@ -128,12 +129,17 @@ def _cmd_localize(args):
     camera = _camera_from_args(args.camera, frames[0].shape)
     # The device DB is exported + uploaded ONCE; every frame reuses it
     # (Localizer — the serving path; multiple --frame args amortize the
-    # store→device cost).
-    localizer = Localizer(store, camera)
+    # store→device cost). Coarse-to-fine re-windows the fine DB per
+    # frame instead (pipelines.localize.localize_coarse_to_fine).
+    localizer = None if args.coarse_to_fine else Localizer(store, camera)
     results = []
     for path, frame in zip(args.frame, frames):
         t0 = time.perf_counter()
-        res = localizer.localize(frame, lod=args.lod)
+        if args.coarse_to_fine:
+            res, coarse, window = localize_coarse_to_fine(
+                frame, store, camera, PipelineConfig())
+        else:
+            res = localizer.localize(frame, lod=args.lod)
         dt = time.perf_counter() - t0
         out = {
             "frame": path,
@@ -144,6 +150,10 @@ def _cmd_localize(args):
             "inliers": int(res.homography.num_inliers),
             "seconds": round(dt, 3),
         }
+        if args.coarse_to_fine:
+            out["coarse_ok"] = bool(coarse.homography.ok)
+            out["window"] = (None if window is None
+                             else [round(float(v), 2) for v in window])
         if res.pose is not None:
             out["pose_ok"] = bool(res.pose.ok)
             out["rvec"] = np.asarray(res.pose.rvec).tolist()
@@ -293,6 +303,10 @@ def main(argv=None):
                     help="one or more frames (the device DB loads once)")
     pl.add_argument("--camera", help="camera json (from calibrate)")
     pl.add_argument("--lod", type=int, default=0)
+    pl.add_argument("--coarse-to-fine", action="store_true",
+                    help="two-stage: match the coarsest LoD first, then "
+                    "only LoD-0 keypoints inside the projected window "
+                    "(ignores --lod)")
     pl.set_defaults(fn=_cmd_localize)
 
     ps = sub.add_parser(

@@ -204,3 +204,27 @@ def test_cli_stream(scene, capsys):
     with pytest.raises(SystemExit):
         main(["stream", "--store", store_dir,
               "--frames", str(tmp_path / "empty_glob_*.png")])
+
+
+def test_cli_localize_coarse_to_fine(scene, capsys):
+    """--coarse-to-fine runs the two-stage LoD path through the CLI:
+    coarse fix at the top of the pyramid, windowed LoD-0 fine match."""
+    tmp_path, tiles, img = scene
+    store_dir = str(tmp_path / "c2fstore")
+    rc = main(["preprocess", "--dataset", str(tiles), "--store", store_dir,
+               "--lod", "2"])
+    assert rc == 0
+
+    from PIL import Image
+
+    frame_path = str(tmp_path / "frame.png")
+    Image.fromarray((img * 255).astype(np.uint8)).save(frame_path)
+    rc = main(["localize", "--store", store_dir, "--frame", frame_path,
+               "--coarse-to-fine"])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    out = json.loads(captured[captured.index("{"):])
+    assert "coarse_ok" in out and "window" in out
+    assert out["keypoints"] > 0
+    if out["coarse_ok"]:
+        assert out["window"] is not None and len(out["window"]) == 4
