@@ -5,8 +5,9 @@ calibrator/src/main.rs:12-25) and adds the `localize` and `stream`
 commands the reference never shipped (SURVEY.md §1 gap: the online
 frame→match→pose loop exists only as library pieces there). Flags keep
 the reference's names where they exist; `--database-url` becomes
-`--store` (a directory), `--cpu-num` becomes `--tile-batch` (the device
-batch width).
+`--store` (a directory), `-c/--cpu-num` becomes `-c/--devices` (dp-mesh
+fan-out of each tile batch) plus `--tile-batch` (the device batch
+width).
 """
 
 from __future__ import annotations
@@ -78,11 +79,26 @@ def _cmd_preprocess(args):
             y //= 2
             lod += 1
         return 0
+    mesh = None
+    if args.devices > 1:
+        # TPU-native analogue of the reference's `-c/--cpu-num` rayon
+        # fan-out (preprocessor main.rs:86-89): shard each tile batch
+        # over a dp mesh of the first N local devices.
+        import jax
+
+        from cubesat_apds_tpu.parallel.mesh import make_mesh
+
+        avail = jax.devices()
+        if args.devices > len(avail):
+            raise SystemExit(
+                f"--devices {args.devices}: only {len(avail)} available")
+        mesh = make_mesh(dp=args.devices, tp=1,
+                         devices=avail[:args.devices])
     t0 = time.perf_counter()
     store, stats = preprocess(
         ds, config=PipelineConfig(), amount_lod=args.lod or None,
         tile_batch=args.tile_batch, elevation_path=args.elevation_path,
-        progress=print)
+        progress=print, mesh=mesh)
     if args.binary:
         from cubesat_apds_tpu.store.binary_store import (
             append_binary_store, write_binary_store)
@@ -289,6 +305,10 @@ def main(argv=None):
                     help="LoD levels (0 = auto, like --calculate-lod)")
     pp.add_argument("--calculate-lod", action="store_true")
     pp.add_argument("--tile-batch", type=int, default=8)
+    pp.add_argument("-c", "--devices", type=int, default=1,
+                    help="shard each tile batch over a dp mesh of N "
+                    "devices (the reference preprocessor's -c/--cpu-num "
+                    "analogue)")
     pp.add_argument("--binary", action="store_true",
                     help="write the mmap binary store (native queries)")
     pp.add_argument("--append", action="store_true",

@@ -228,3 +228,25 @@ def test_cli_localize_coarse_to_fine(scene, capsys):
     assert out["keypoints"] > 0
     if out["coarse_ok"]:
         assert out["window"] is not None and len(out["window"]) == 4
+
+
+def test_cli_preprocess_devices_mesh(scene, capsys):
+    """`-c/--devices N` (the reference preprocessor's --cpu-num
+    analogue) shards each tile batch over a dp mesh; the store must be
+    identical to the single-device build."""
+    tmp_path, tiles, img = scene
+    single = str(tmp_path / "dstore1")
+    rc = main(["preprocess", "--dataset", str(tiles), "--store", single,
+               "--lod", "2", "--tile-batch", "4"])
+    assert rc == 0
+    sharded = str(tmp_path / "dstore4")
+    rc = main(["preprocess", "--dataset", str(tiles), "--store", sharded,
+               "--lod", "2", "--tile-batch", "4", "-c", "4"])
+    assert rc == 0
+
+    from cubesat_apds_tpu.store.feature_store import FeatureStore
+
+    s1 = FeatureStore.load(single)
+    s4 = FeatureStore.load(sharded)
+    assert len(s1) == len(s4)
+    np.testing.assert_array_equal(s1._desc, s4._desc)
