@@ -227,8 +227,23 @@ def _cmd_stream(args):
     config = PipelineConfig()
     check_descriptor_mode(store, config)
     db = load_device_db(store, args.lod)
+    mesh = None
+    if args.mesh:
+        # Compose the stream with the mesh-parallel serving step:
+        # frames sharded over dp, the DB over tp (parallel/serve.py).
+        from cubesat_apds_tpu.parallel.mesh import make_mesh
+        from cubesat_apds_tpu.parallel.serve import shard_device_db
+
+        try:
+            dp, tp = (int(v) for v in args.mesh.lower().split("x"))
+        except ValueError:
+            raise SystemExit(f"--mesh {args.mesh!r}: expected DPxTP, "
+                             "e.g. 2x4")
+        mesh = make_mesh(dp=dp, tp=tp)
+        db = shard_device_db(mesh, db)
     s = StreamingLocalizer(db, camera, config=config,
-                           solve_pose=db.has_world, batch=args.batch)
+                           solve_pose=db.has_world, batch=args.batch,
+                           mesh=mesh)
     t0 = time.perf_counter()
     n = 0
     for res in s.run(iter(paths), preprocess=decode):
@@ -340,6 +355,9 @@ def main(argv=None):
                          "host<->device round trip)")
     ps.add_argument("--camera", help="camera json (from calibrate)")
     ps.add_argument("--lod", type=int, default=0)
+    ps.add_argument("--mesh", help="DPxTP device mesh, e.g. 2x4: frames "
+                    "sharded over dp, the DB over tp (batch rounds up "
+                    "to a dp multiple)")
     ps.set_defaults(fn=_cmd_stream)
 
     pc = sub.add_parser("calibrate", help="camera intrinsics")

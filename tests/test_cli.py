@@ -250,3 +250,49 @@ def test_cli_preprocess_devices_mesh(scene, capsys):
     s4 = FeatureStore.load(sharded)
     assert len(s1) == len(s4)
     np.testing.assert_array_equal(s1._desc, s4._desc)
+
+
+def test_cli_stream_mesh(scene, capsys):
+    """`stream --mesh DPxTP` composes the stream with the mesh-parallel
+    serving step; records match the single-device stream."""
+    tmp_path, tiles, img = scene
+    store_dir = str(tmp_path / "smstore")
+    rc = main(["preprocess", "--dataset", str(tiles), "--store", store_dir,
+               "--lod", "1"])
+    assert rc == 0
+
+    from PIL import Image
+
+    frames_dir = tmp_path / "mframes"
+    frames_dir.mkdir()
+    names = []
+    for i in range(4):
+        p = str(frames_dir / f"f{i}.png")
+        Image.fromarray(
+            (np.roll(img, i * 2, axis=1) * 255).astype(np.uint8)).save(p)
+        names.append(p)
+
+    def run(argv):
+        rc = main(argv)
+        assert rc == 0
+        lines = [json.loads(l) for l in
+                 capsys.readouterr().out.strip().splitlines()
+                 if l.startswith("{")]
+        return [l for l in lines if "frame" in l], lines[-1]["summary"]
+
+    ref, _ = run(["stream", "--store", store_dir,
+                  "--frames", str(frames_dir), "--batch", "2"])
+    mesh, summary = run(["stream", "--store", store_dir,
+                         "--frames", str(frames_dir), "--batch", "2",
+                         "--mesh", "2x4"])
+    assert summary["frames"] == 4
+    assert [r["frame"] for r in mesh] == names
+    for a, b in zip(ref, mesh):
+        assert a["keypoints"] == b["keypoints"]
+        assert a["matches"] == b["matches"]
+        assert a["inliers"] == b["inliers"]
+
+    # Malformed mesh spec refuses cleanly.
+    with pytest.raises(SystemExit):
+        main(["stream", "--store", store_dir, "--frames", str(frames_dir),
+              "--mesh", "nonsense"])
