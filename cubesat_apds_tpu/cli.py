@@ -122,6 +122,39 @@ def _cmd_preprocess(args):
     return 0
 
 
+def _write_localize_viz(viz_path, n_frames, idx, frame, res):
+    """Draw the frame's detections (green), ratio-test matches (yellow)
+    and homography inliers (red) — the single-image analogue of the
+    reference's export_matches (feature_extraction/src/lib.rs:128-155;
+    the train side here is the DB, not an image). Returns the written
+    path (indexed per frame when several are given)."""
+    import os
+
+    import numpy as np
+
+    from cubesat_apds_tpu.utils.viz import draw_keypoints, write_image
+
+    kp, m = res.keypoints, res.matches
+    xy = np.asarray(kp.xy)
+    valid = np.asarray(kp.valid)
+    q = np.asarray(m.query_idx)
+    mvalid = np.asarray(m.valid)
+    inl = mvalid & np.asarray(res.homography.inliers)
+    matched = np.zeros(len(xy), bool)
+    matched[q[mvalid]] = True
+    inlier = np.zeros(len(xy), bool)
+    inlier[q[inl]] = True
+    img = draw_keypoints(frame, xy, valid & ~matched, color=(0, 255, 0))
+    img = draw_keypoints(img, xy, matched & ~inlier, color=(255, 220, 0))
+    img = draw_keypoints(img, xy, inlier, color=(255, 40, 40))
+    path = viz_path
+    if n_frames > 1:
+        stem, ext = os.path.splitext(viz_path)
+        path = f"{stem}_{idx}{ext or '.png'}"
+    write_image(path, img)
+    return path
+
+
 def _cmd_localize(args):
     import numpy as np
     from PIL import Image
@@ -175,6 +208,9 @@ def _cmd_localize(args):
             out["rvec"] = np.asarray(res.pose.rvec).tolist()
             out["tvec"] = np.asarray(res.pose.tvec).tolist()
             out["pose_inliers"] = int(res.pose.num_inliers)
+        if args.viz:
+            out["viz"] = _write_localize_viz(
+                args.viz, len(args.frame), len(results), frame, res)
         results.append(out)
     print(json.dumps(results[0] if len(results) == 1 else results,
                      indent=2))
@@ -338,6 +374,9 @@ def main(argv=None):
                     help="one or more frames (the device DB loads once)")
     pl.add_argument("--camera", help="camera json (from calibrate)")
     pl.add_argument("--lod", type=int, default=0)
+    pl.add_argument("--viz", help="write a keypoint/match/inlier "
+                    "visualization PNG here (per-frame suffix when "
+                    "several frames are given)")
     pl.add_argument("--coarse-to-fine", action="store_true",
                     help="two-stage: match the coarsest LoD first, then "
                     "only LoD-0 keypoints inside the projected window "

@@ -26,6 +26,8 @@ from cubesat_apds_tpu.core.types import (
     CameraModel,
     Correspondences,
     HomographyResult,
+    Keypoints,
+    Matches,
     PoseSolution,
 )
 from cubesat_apds_tpu.ops.features.akaze import detect_and_compute
@@ -80,6 +82,11 @@ class LocalizationResult:
     pose: Optional[PoseSolution]
     num_matches: jax.Array
     num_keypoints: jax.Array
+    # Full per-frame detections + correspondences (masked, static
+    # capacity). Unfetched device arrays are free under jit; callers
+    # that want them (viz export, diagnostics) pull them to host.
+    keypoints: Optional[Keypoints] = None
+    matches: Optional[Matches] = None
 
 
 @functools.partial(jax.jit, static_argnames=("config", "solve_pose"))
@@ -112,6 +119,8 @@ def localize_frame_jit(frame, db: DeviceDb, camera: CameraModel,
         pose=pose,
         num_matches=matches.count(),
         num_keypoints=kp.count(),
+        keypoints=kp,
+        matches=matches,
     )
 
 

@@ -296,3 +296,38 @@ def test_cli_stream_mesh(scene, capsys):
     with pytest.raises(SystemExit):
         main(["stream", "--store", store_dir, "--frames", str(frames_dir),
               "--mesh", "nonsense"])
+
+
+def test_cli_localize_viz(scene, capsys):
+    """--viz writes a keypoint/match/inlier overlay PNG (the CLI
+    analogue of the reference's export_matches) and reports the path;
+    multi-frame runs get per-frame suffixes."""
+    tmp_path, tiles, img = scene
+    store_dir = str(tmp_path / "vstore")
+    rc = main(["preprocess", "--dataset", str(tiles), "--store", store_dir,
+               "--lod", "1"])
+    assert rc == 0
+
+    from PIL import Image
+
+    f1 = str(tmp_path / "vf1.png")
+    f2 = str(tmp_path / "vf2.png")
+    Image.fromarray((img * 255).astype(np.uint8)).save(f1)
+    Image.fromarray((np.roll(img, 3, axis=1) * 255).astype(np.uint8)).save(f2)
+
+    viz = str(tmp_path / "viz.png")
+    rc = main(["localize", "--store", store_dir, "--frame", f1,
+               "--viz", viz])
+    assert rc == 0
+    out = json.loads((lambda c: c[c.index("{"):])(capsys.readouterr().out))
+    assert out["viz"] == viz
+    with Image.open(viz) as im:
+        assert im.size == (img.shape[1], img.shape[0])
+
+    rc = main(["localize", "--store", store_dir, "--frame", f1, f2,
+               "--viz", viz])
+    assert rc == 0
+    outs = json.loads((lambda c: c[c.index("["):])(capsys.readouterr().out))
+    assert [o["viz"] for o in outs] == [str(tmp_path / "viz_0.png"),
+                                        str(tmp_path / "viz_1.png")]
+    assert all(os.path.exists(o["viz"]) for o in outs)
