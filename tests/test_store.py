@@ -144,3 +144,16 @@ def test_save_load_roundtrip(rng, tmp_path):
     # New images continue the id sequence.
     nid = loaded.create_image(0, 0, 1, 1, 0)
     assert nid == a + 1
+
+
+def test_top_level_api_exports():
+    """Every name in the package's lazy export table resolves, and the
+    eager type/config exports are present (the public API surface)."""
+    import cubesat_apds_tpu as apds
+
+    for name in apds._LAZY:
+        assert getattr(apds, name) is not None, name
+    for name in ("CameraModel", "PipelineConfig", "Keypoints", "Matches",
+                 "MAX_POINTS"):
+        assert hasattr(apds, name), name
+    assert "localize_frame_jit" in dir(apds)
