@@ -161,7 +161,7 @@ def _cmd_localize(args):
 
     from cubesat_apds_tpu.core.config import PipelineConfig
     from cubesat_apds_tpu.pipelines.localize import (
-        Localizer, localize_coarse_to_fine)
+        Localizer, load_device_db, localize_coarse_to_fine)
 
     store = _open_store(args.store)
     frames = []
@@ -180,13 +180,24 @@ def _cmd_localize(args):
     # (Localizer — the serving path; multiple --frame args amortize the
     # store→device cost). Coarse-to-fine re-windows the fine DB per
     # frame instead (pipelines.localize.localize_coarse_to_fine).
-    localizer = None if args.coarse_to_fine else Localizer(store, camera)
+    localizer = None
+    coarse_db = None
+    if args.coarse_to_fine:
+        # Load the coarse DB once; every frame reuses it (the fine DB
+        # is window-dependent and re-built per frame by design).
+        recs = (store.images if hasattr(store, "images")
+                else store._images).values()
+        coarse_lod = max(r.level_of_detail for r in recs)
+        coarse_db = load_device_db(store, coarse_lod)
+    else:
+        localizer = Localizer(store, camera)
     results = []
     for path, frame in zip(args.frame, frames):
         t0 = time.perf_counter()
         if args.coarse_to_fine:
             res, coarse, window = localize_coarse_to_fine(
-                frame, store, camera, PipelineConfig())
+                frame, store, camera, PipelineConfig(),
+                coarse_db=coarse_db)
         else:
             res = localizer.localize(frame, lod=args.lod)
         dt = time.perf_counter() - t0
@@ -275,7 +286,13 @@ def _cmd_stream(args):
         except ValueError:
             raise SystemExit(f"--mesh {args.mesh!r}: expected DPxTP, "
                              "e.g. 2x4")
-        mesh = make_mesh(dp=dp, tp=tp)
+        import jax
+
+        avail = jax.devices()
+        if dp * tp > len(avail):
+            raise SystemExit(f"--mesh {args.mesh}: needs {dp * tp} "
+                             f"devices, only {len(avail)} available")
+        mesh = make_mesh(dp=dp, tp=tp, devices=avail[:dp * tp])
         db = shard_device_db(mesh, db)
     s = StreamingLocalizer(db, camera, config=config,
                            solve_pose=db.has_world, batch=args.batch,

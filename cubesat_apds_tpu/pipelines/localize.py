@@ -225,7 +225,8 @@ def localize_coarse_to_fine(frame, store, camera: CameraModel,
                             coarse_lod: Optional[int] = None,
                             margin: float = 0.25,
                             pad_multiple: int = 2048,
-                            solve_pose: Optional[bool] = None):
+                            solve_pose: Optional[bool] = None,
+                            coarse_db: Optional[DeviceDb] = None):
     """Two-stage localization over the LoD pyramid.
 
     The reference stores an LoD pyramid but never uses it online
@@ -248,7 +249,12 @@ def localize_coarse_to_fine(frame, store, camera: CameraModel,
     if coarse_lod is None:
         coarse_lod = lods[-1]
 
-    coarse_db = load_device_db(store, coarse_lod, pad_multiple)
+    if coarse_db is None:
+        # Callers localizing many frames against one store should load
+        # this once (load_device_db(store, coarse_lod)) and pass it in —
+        # a fresh export + upload per frame costs ~RTT+transfer each on
+        # remote-attached TPUs.
+        coarse_db = load_device_db(store, coarse_lod, pad_multiple)
     if solve_pose is None:
         solve_pose = coarse_db.has_world
     coarse = localize_frame_jit(frame, coarse_db, camera, config, False)

@@ -218,7 +218,10 @@ class StreamingLocalizer:
 
         threading.Thread(target=producer, daemon=True).start()
 
-        if self.batch > 1:
+        # A mesh stream ALWAYS goes through the batched step — the
+        # single-frame step would serve the tp-sharded DB with per-frame
+        # cross-chip gathers instead of the shard_map merge.
+        if self.batch > 1 or self.mesh is not None:
             yield from self._run_batched(q, SENTINEL, producer_error)
             return
 

@@ -292,10 +292,21 @@ def test_cli_stream_mesh(scene, capsys):
         assert a["matches"] == b["matches"]
         assert a["inliers"] == b["inliers"]
 
+    # Submesh (dp*tp < device count) and default batch=1 both work:
+    # batch rounds up to dp and the batched mesh step is used.
+    sub, _ = run(["stream", "--store", store_dir,
+                  "--frames", str(frames_dir), "--mesh", "2x2"])
+    for a, b in zip(ref, sub):
+        assert a["inliers"] == b["inliers"]
+
     # Malformed mesh spec refuses cleanly.
     with pytest.raises(SystemExit):
         main(["stream", "--store", store_dir, "--frames", str(frames_dir),
               "--mesh", "nonsense"])
+    # Oversubscribed mesh refuses cleanly.
+    with pytest.raises(SystemExit):
+        main(["stream", "--store", store_dir, "--frames", str(frames_dir),
+              "--mesh", "8x8"])
 
 
 def test_cli_localize_viz(scene, capsys):
