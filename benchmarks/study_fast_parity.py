@@ -69,6 +69,10 @@ def main(n_scenes: int = 120, modes=("exact", "fast")):
             "fast": {"descriptor_mode": "fast", "orientation_mode": "fast"},
             "fastdesc": {"descriptor_mode": "fast",
                          "orientation_mode": "exact"},
+            "hybrid": {"descriptor_mode": "hybrid",
+                       "orientation_mode": "exact"},
+            "hybridfast": {"descriptor_mode": "hybrid",
+                           "orientation_mode": "fast"},
         }[mode]
         return PipelineConfig(
             akaze=AkazeConfig(capacity=2048, **kw),

@@ -66,8 +66,11 @@ class AkazeConfig:
     # gather lowered the 441-sample load below the 100 fps budget
     # (103.8 fps measured e2e, PERF.md round 3), so the oracle-validated
     # reference-faithful sampling needs no speed trade anymore. "fast"
-    # remains the opt-in throughput mode (120 fps). Build DB and frames
-    # with ONE mode — descriptors across modes don't mix.
+    # remains the opt-in throughput mode (120 fps). "hybrid" sits
+    # between: 2×2 blur-matched subcell samples per cell in the rotated
+    # frame (116 samples/keypoint), halving fast's box-vs-Gaussian and
+    # rotation mismatch. Build DB and frames with ONE mode — descriptors
+    # across modes don't mix.
     descriptor_mode: str = "exact"
     # Orientation sampling: "exact" = the full 109-point disc; "fast" =
     # a 55-point checkerboard subset (halves the dominant remaining

@@ -85,10 +85,13 @@ def _orient_describe(packed, level_hw, combined,
     angle = compute_orientations(
         packed, level_hw, xy, size, class_id, octave, valid,
         mode=config.orientation_mode)
-    if config.descriptor_mode == "fast":
-        from cubesat_apds_tpu.ops.features.mldb import mldb_descriptors_fast
+    if config.descriptor_mode in ("fast", "hybrid"):
+        from cubesat_apds_tpu.ops.features.mldb import (
+            mldb_descriptors_fast, mldb_descriptors_hybrid)
 
-        desc = mldb_descriptors_fast(
+        fn = (mldb_descriptors_fast if config.descriptor_mode == "fast"
+              else mldb_descriptors_hybrid)
+        desc = fn(
             combined, level_hw, combined.shape[0] // 3, xy, size, angle,
             class_id, octave, valid)
     else:
@@ -199,10 +202,14 @@ def detect_and_compute(img, config: AkazeConfig = AkazeConfig(),
             return sample_patches(patches, iy, ix, row0, col0,
                                   level_hw, lvl)
 
-    if config.descriptor_mode == "fast":
-        from cubesat_apds_tpu.ops.features.mldb import fast_blur_sigmas
+    if config.descriptor_mode in ("fast", "hybrid"):
+        from cubesat_apds_tpu.ops.features.mldb import (
+            fast_blur_sigmas, hybrid_blur_sigmas)
 
         from cubesat_apds_tpu.ops.resample import gaussian_blur
+
+        sigmas_fn = (fast_blur_sigmas if config.descriptor_mode == "fast"
+                     else hybrid_blur_sigmas)
 
         # Per-grid-level blur-matched pyramids: each level has ONE static
         # scale s, so the matched σ per (level, grid) is static too.
@@ -218,7 +225,7 @@ def detect_and_compute(img, config: AkazeConfig = AkazeConfig(),
         for g in range(3):
             blurred = [
                 gaussian_blur(base3[i],
-                              fast_blur_sigmas(m.sigma_size)[g])
+                              sigmas_fn(m.sigma_size)[g])
                 for i, m in enumerate(ss.meta)
             ]
             grid_stacks.append(_packed_stack(
@@ -246,10 +253,13 @@ def detect_and_compute(img, config: AkazeConfig = AkazeConfig(),
         xy=kps.xy, size=kps.size, angle=angle, response=kps.response,
         octave=kps.octave, class_id=kps.class_id, valid=kps.valid)
 
-    if config.descriptor_mode == "fast":
-        from cubesat_apds_tpu.ops.features.mldb import mldb_descriptors_fast
+    if config.descriptor_mode in ("fast", "hybrid"):
+        from cubesat_apds_tpu.ops.features.mldb import (
+            mldb_descriptors_fast, mldb_descriptors_hybrid)
 
-        desc = mldb_descriptors_fast(
+        fn = (mldb_descriptors_fast if config.descriptor_mode == "fast"
+              else mldb_descriptors_hybrid)
+        desc = fn(
             combined, level_hw, len(ss.Lt), kps.xy, kps.size, kps.angle,
             kps.class_id, kps.octave, kps.valid)
     else:

@@ -161,6 +161,114 @@ def fast_blur_sigmas(scale: int):
     return [step * scale / np.sqrt(12.0) for step, _ in _CELL_CENTERS]
 
 
+def _subcell_geometry(pattern: int = _PATTERN):
+    """Static per-grid 2×2 subcell centers + weights.
+
+    Each cell's integer samples {i..i+step−1} split into discrete halves
+    along each axis (h = step//2 and step−h samples); a subcell's center
+    is the mean position of its half's samples and its weight the count
+    fraction, so the weighted subcell average reproduces the exact cell
+    mean when each subcell sample equals its half-box mean."""
+    size_mult = [1.0, 2.0 / 3.0, 1.0 / 2.0]
+    out = []
+    for g in range(3):
+        step = int(np.ceil(pattern * size_mult[g]))
+        starts = list(range(-pattern, pattern, step))
+        h = step // 2
+        # (center offset within the cell, weight) per axis half.
+        halves = [((h - 1) / 2.0, h / step),
+                  (h + (step - h - 1) / 2.0, (step - h) / step)]
+        centers, weights = [], []
+        for i in starts:
+            for j in starts:
+                for ca, wa in halves:
+                    for cb, wb in halves:
+                        centers.append((i + ca, j + cb))
+                        weights.append(wa * wb)
+        out.append((step, np.asarray(centers, np.float32),
+                    np.asarray(weights, np.float32)))
+    return out
+
+
+_SUBCELL = _subcell_geometry()
+
+
+def hybrid_blur_sigmas(scale: int):
+    """Per-grid σ (level pixels) matching a box mean over a half-cell
+    (step·scale/2 wide): σ = step·scale/(2·√12)."""
+    return [step * scale / (2.0 * np.sqrt(12.0)) for step, _, _ in _SUBCELL]
+
+
+def mldb_descriptors_hybrid(combined_stack, level_hw, n_levels,
+                            xy, size, angle, class_id, octave, valid):
+    """Approximate MLDB between `fast` and `exact`: each cell mean is a
+    WEIGHTED average of 2×2 blur-matched subcell samples placed in the
+    keypoint's rotated frame — 116 samples/keypoint (vs 29 fast / 441
+    exact). Halves the dominant fast-mode error (axis-aligned Gaussian
+    vs rotated box mean); bit layout and comparisons identical.
+
+    combined_stack: [3·L, H, W, C] per-grid stacks blurred with
+    hybrid_blur_sigmas (half-cell boxes)."""
+    K = xy.shape[0]
+    lvl = jnp.clip(class_id, 0, n_levels - 1)
+    ratio = jnp.exp2(octave.astype(jnp.float32))
+    s = _fround(0.5 * size / ratio).astype(jnp.float32)
+    xf = xy[:, 0] / ratio
+    yf = xy[:, 1] / ratio
+    co = jnp.cos(angle)
+    si = jnp.sin(angle)
+
+    hs = level_hw[lvl, 0][:, None]
+    ws = level_hw[lvl, 1][:, None]
+    lvl_col = lvl[:, None]
+
+    iy_parts, ix_parts, lvl_parts, w_parts, counts = [], [], [], [], []
+    for g in range(3):
+        _, centers, weights = _SUBCELL[g]
+        k_off = jnp.asarray(centers[:, 0])[None, :]
+        l_off = jnp.asarray(centers[:, 1])[None, :]
+        sx = xf[:, None] + s[:, None] * (k_off * co[:, None] - l_off * si[:, None])
+        sy = yf[:, None] + s[:, None] * (k_off * si[:, None] + l_off * co[:, None])
+        ix_parts.append(jnp.clip(_fround(sx), 0, ws - 1))
+        iy_parts.append(jnp.clip(_fround(sy), 0, hs - 1))
+        lvl_parts.append(jnp.broadcast_to(lvl_col + g * n_levels,
+                                          (K, centers.shape[0])))
+        w_parts.append(jnp.asarray(weights))
+        counts.append(centers.shape[0])
+    iy_all = jnp.concatenate(iy_parts, axis=1)            # [K, 116]
+    ix_all = jnp.concatenate(ix_parts, axis=1)
+    lvl_all = jnp.concatenate(lvl_parts, axis=1)
+    from cubesat_apds_tpu.ops.features.flat_gather import flat_take
+
+    L3, Hs_, Ws_ = combined_stack.shape[:3]
+    flat = combined_stack.reshape(L3 * Hs_ * Ws_, combined_stack.shape[3])
+    lin = (lvl_all * Hs_ + iy_all) * Ws_ + ix_all
+    vals = flat_take(flat, lin).astype(jnp.float32)
+    di = vals[..., 0]
+    rx = vals[..., 1]
+    ry = vals[..., 2]
+    dx = rx * co[:, None] + ry * si[:, None]
+    dy = -rx * si[:, None] + ry * co[:, None]
+    samp_all = jnp.stack([di, dx, dy], axis=-1)           # [K, 116, 3]
+
+    bit_groups = []
+    off = 0
+    for g in range(3):
+        n_sub = counts[g]
+        sub = samp_all[:, off:off + n_sub]                # [K, 4·C, 3]
+        w = w_parts[g][None, :, None]
+        cell_vals = (sub * w).reshape(K, n_sub // 4, 4, 3).sum(axis=2)
+        off += n_sub
+        pairs = jnp.asarray(_PAIR_IDX[g])
+        vi = cell_vals[:, pairs[:, 0], :]
+        vj = cell_vals[:, pairs[:, 1], :]
+        bits = vi > vj
+        bit_groups.append(jnp.moveaxis(bits, -1, -2).reshape(K, -1))
+    all_bits = jnp.concatenate(bit_groups, axis=-1)
+    desc = pack_bits(all_bits)
+    return jnp.where(valid[:, None], desc, jnp.uint8(0))
+
+
 def mldb_descriptors_fast(combined_stack, level_hw, n_levels,
                           xy, size, angle, class_id, octave, valid):
     """Approximate MLDB: cell means = one sample per cell from a

@@ -354,3 +354,40 @@ def test_tiled_merge_seam_dedup_is_greedy():
     # Descriptors must follow their keypoints through the merge.
     kept_desc = np.asarray(out.descriptors[kp.valid, 0])
     assert sorted(kept_desc.tolist()) == [0, 2]
+
+
+def test_hybrid_descriptor_mode(rng):
+    """Hybrid (2×2 blur-matched subcell) descriptors: detection
+    unchanged, strictly closer to exact than fast mode, and the static
+    subcell geometry reproduces each cell's discrete mean position."""
+    from cubesat_apds_tpu.ops.features.mldb import (_CELL_CENTERS,
+                                                    _SUBCELL)
+
+    # Weighted subcell centers == the fast mode's cell centers (the
+    # discrete mean sample position of every cell), per grid.
+    for g in range(3):
+        _, cc = _CELL_CENTERS[g]
+        _, centers, weights = _SUBCELL[g]
+        n_cells = len(cc)
+        c4 = centers.reshape(n_cells, 4, 2)
+        w4 = weights.reshape(n_cells, 4, 1)
+        np.testing.assert_allclose((c4 * w4).sum(1), cc, atol=1e-5)
+        np.testing.assert_allclose(w4.sum(1), 1.0, atol=1e-6)
+
+    base = _corners_img(rng, n=256, k=16)
+    f_e = detect_and_compute(base, AkazeConfig(capacity=512))
+    f_h = detect_and_compute(base, AkazeConfig(capacity=512,
+                                               descriptor_mode="hybrid"))
+    f_f = detect_and_compute(base, AkazeConfig(capacity=512,
+                                               descriptor_mode="fast"))
+    np.testing.assert_array_equal(np.asarray(f_h.keypoints.xy),
+                                  np.asarray(f_e.keypoints.xy))
+    v = np.asarray(f_e.keypoints.valid)
+    d_e = np.asarray(f_e.descriptors)[v]
+    flips_h = np.unpackbits(np.asarray(f_h.descriptors)[v] ^ d_e,
+                            axis=-1).sum(-1)
+    flips_f = np.unpackbits(np.asarray(f_f.descriptors)[v] ^ d_e,
+                            axis=-1).sum(-1)
+    assert flips_h.mean() < 0.6 * flips_f.mean(), \
+        f"hybrid {flips_h.mean():.1f} vs fast {flips_f.mean():.1f}"
+    assert np.median(flips_h) < 45, f"median {np.median(flips_h)}/486"
