@@ -71,6 +71,9 @@ def main(n_scenes: int = 120, modes=("exact", "fast")):
                          "orientation_mode": "exact"},
             "hybrid": {"descriptor_mode": "hybrid",
                        "orientation_mode": "exact"},
+            "hybrid3": {"descriptor_mode": "hybrid",
+                        "orientation_mode": "exact",
+                        "hybrid_subcells": 3},
             "hybridfast": {"descriptor_mode": "hybrid",
                            "orientation_mode": "fast"},
         }[mode]

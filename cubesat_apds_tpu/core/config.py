@@ -72,6 +72,10 @@ class AkazeConfig:
     # rotation mismatch. Build DB and frames with ONE mode — descriptors
     # across modes don't mix.
     descriptor_mode: str = "exact"
+    # Subdivision for descriptor_mode="hybrid": sub×sub blur-matched
+    # samples per MLDB cell (2 → 116 samples/kp, 0.90 inlier Jaccard vs
+    # exact; 3 → 261 samples/kp — see PERF.md round 3).
+    hybrid_subcells: int = 2
     # Orientation sampling: "exact" = the full 109-point disc; "fast" =
     # a 55-point checkerboard subset (halves the dominant remaining
     # gather; √2 more noise on the resultant-vector estimate).

@@ -89,8 +89,11 @@ def _orient_describe(packed, level_hw, combined,
         from cubesat_apds_tpu.ops.features.mldb import (
             mldb_descriptors_fast, mldb_descriptors_hybrid)
 
-        fn = (mldb_descriptors_fast if config.descriptor_mode == "fast"
-              else mldb_descriptors_hybrid)
+        if config.descriptor_mode == "fast":
+            fn = mldb_descriptors_fast
+        else:
+            fn = functools.partial(mldb_descriptors_hybrid,
+                                   sub=config.hybrid_subcells)
         desc = fn(
             combined, level_hw, combined.shape[0] // 3, xy, size, angle,
             class_id, octave, valid)
@@ -208,8 +211,11 @@ def detect_and_compute(img, config: AkazeConfig = AkazeConfig(),
 
         from cubesat_apds_tpu.ops.resample import gaussian_blur
 
-        sigmas_fn = (fast_blur_sigmas if config.descriptor_mode == "fast"
-                     else hybrid_blur_sigmas)
+        if config.descriptor_mode == "fast":
+            sigmas_fn = fast_blur_sigmas
+        else:
+            sigmas_fn = functools.partial(hybrid_blur_sigmas,
+                                          sub=config.hybrid_subcells)
 
         # Per-grid-level blur-matched pyramids: each level has ONE static
         # scale s, so the matched σ per (level, grid) is static too.
@@ -257,8 +263,11 @@ def detect_and_compute(img, config: AkazeConfig = AkazeConfig(),
         from cubesat_apds_tpu.ops.features.mldb import (
             mldb_descriptors_fast, mldb_descriptors_hybrid)
 
-        fn = (mldb_descriptors_fast if config.descriptor_mode == "fast"
-              else mldb_descriptors_hybrid)
+        if config.descriptor_mode == "fast":
+            fn = mldb_descriptors_fast
+        else:
+            fn = functools.partial(mldb_descriptors_hybrid,
+                                   sub=config.hybrid_subcells)
         desc = fn(
             combined, level_hw, len(ss.Lt), kps.xy, kps.size, kps.angle,
             kps.class_id, kps.octave, kps.valid)

@@ -161,54 +161,67 @@ def fast_blur_sigmas(scale: int):
     return [step * scale / np.sqrt(12.0) for step, _ in _CELL_CENTERS]
 
 
-def _subcell_geometry(pattern: int = _PATTERN):
-    """Static per-grid 2×2 subcell centers + weights.
+def _subcell_geometry(sub: int, pattern: int = _PATTERN):
+    """Static per-grid sub×sub subcell centers + weights.
 
-    Each cell's integer samples {i..i+step−1} split into discrete halves
-    along each axis (h = step//2 and step−h samples); a subcell's center
-    is the mean position of its half's samples and its weight the count
+    Each cell's integer samples {i..i+step−1} split into `sub` discrete
+    parts along each axis (bounds round(step·k/sub)); a subcell's center
+    is the mean position of its part's samples and its weight the count
     fraction, so the weighted subcell average reproduces the exact cell
-    mean when each subcell sample equals its half-box mean."""
+    mean when each subcell sample equals its part-box mean. Returns per
+    grid (step, centers [n_cells·m², 2], weights [n_cells·m²], m) with
+    m = number of non-empty parts (≤ sub for small steps)."""
     size_mult = [1.0, 2.0 / 3.0, 1.0 / 2.0]
     out = []
     for g in range(3):
         step = int(np.ceil(pattern * size_mult[g]))
         starts = list(range(-pattern, pattern, step))
-        h = step // 2
-        # (center offset within the cell, weight) per axis half.
-        halves = [((h - 1) / 2.0, h / step),
-                  (h + (step - h - 1) / 2.0, (step - h) / step)]
+        bounds = [round(step * k / sub) for k in range(sub + 1)]
+        parts = []
+        for k in range(sub):
+            lo, hi = bounds[k], bounds[k + 1]
+            if hi > lo:
+                parts.append(((lo + hi - 1) / 2.0, (hi - lo) / step))
         centers, weights = [], []
         for i in starts:
             for j in starts:
-                for ca, wa in halves:
-                    for cb, wb in halves:
+                for ca, wa in parts:
+                    for cb, wb in parts:
                         centers.append((i + ca, j + cb))
                         weights.append(wa * wb)
         out.append((step, np.asarray(centers, np.float32),
-                    np.asarray(weights, np.float32)))
+                    np.asarray(weights, np.float32), len(parts)))
     return out
 
 
-_SUBCELL = _subcell_geometry()
+_SUBCELL_CACHE: dict = {}
 
 
-def hybrid_blur_sigmas(scale: int):
-    """Per-grid σ (level pixels) matching a box mean over a half-cell
-    (step·scale/2 wide): σ = step·scale/(2·√12)."""
-    return [step * scale / (2.0 * np.sqrt(12.0)) for step, _, _ in _SUBCELL]
+def _subcell(sub: int):
+    if sub not in _SUBCELL_CACHE:
+        _SUBCELL_CACHE[sub] = _subcell_geometry(sub)
+    return _SUBCELL_CACHE[sub]
+
+
+def hybrid_blur_sigmas(scale: int, sub: int = 2):
+    """Per-grid σ (level pixels) matching a box mean over a 1/sub cell
+    part (step·scale/sub wide): σ = step·scale/(sub·√12)."""
+    return [step * scale / (sub * np.sqrt(12.0))
+            for step, _, _, _ in _subcell(sub)]
 
 
 def mldb_descriptors_hybrid(combined_stack, level_hw, n_levels,
-                            xy, size, angle, class_id, octave, valid):
+                            xy, size, angle, class_id, octave, valid,
+                            sub: int = 2):
     """Approximate MLDB between `fast` and `exact`: each cell mean is a
-    WEIGHTED average of 2×2 blur-matched subcell samples placed in the
-    keypoint's rotated frame — 116 samples/keypoint (vs 29 fast / 441
-    exact). Halves the dominant fast-mode error (axis-aligned Gaussian
-    vs rotated box mean); bit layout and comparisons identical.
+    WEIGHTED average of sub×sub blur-matched subcell samples placed in
+    the keypoint's rotated frame — 116 samples/keypoint at sub=2, 261 at
+    sub=3 (vs 29 fast / 441 exact). Cuts the dominant fast-mode error
+    (axis-aligned Gaussian vs rotated box mean) by the subdivision
+    factor; bit layout and comparisons identical.
 
     combined_stack: [3·L, H, W, C] per-grid stacks blurred with
-    hybrid_blur_sigmas (half-cell boxes)."""
+    hybrid_blur_sigmas(·, sub)."""
     K = xy.shape[0]
     lvl = jnp.clip(class_id, 0, n_levels - 1)
     ratio = jnp.exp2(octave.astype(jnp.float32))
@@ -222,9 +235,12 @@ def mldb_descriptors_hybrid(combined_stack, level_hw, n_levels,
     ws = level_hw[lvl, 1][:, None]
     lvl_col = lvl[:, None]
 
-    iy_parts, ix_parts, lvl_parts, w_parts, counts = [], [], [], [], []
+    geo = _subcell(sub)
+    iy_parts, ix_parts, lvl_parts, w_parts, counts, msubs = \
+        [], [], [], [], [], []
     for g in range(3):
-        _, centers, weights = _SUBCELL[g]
+        _, centers, weights, m = geo[g]
+        msubs.append(m * m)
         k_off = jnp.asarray(centers[:, 0])[None, :]
         l_off = jnp.asarray(centers[:, 1])[None, :]
         sx = xf[:, None] + s[:, None] * (k_off * co[:, None] - l_off * si[:, None])
@@ -255,9 +271,10 @@ def mldb_descriptors_hybrid(combined_stack, level_hw, n_levels,
     off = 0
     for g in range(3):
         n_sub = counts[g]
-        sub = samp_all[:, off:off + n_sub]                # [K, 4·C, 3]
+        ms = msubs[g]
+        block = samp_all[:, off:off + n_sub]              # [K, m²·C, 3]
         w = w_parts[g][None, :, None]
-        cell_vals = (sub * w).reshape(K, n_sub // 4, 4, 3).sum(axis=2)
+        cell_vals = (block * w).reshape(K, n_sub // ms, ms, 3).sum(axis=2)
         off += n_sub
         pairs = jnp.asarray(_PAIR_IDX[g])
         vi = cell_vals[:, pairs[:, 0], :]

@@ -148,7 +148,7 @@ def test_batched_equals_single(rng):
 
     img1 = _corners_img(rng)
     img2 = np.roll(img1, 9, axis=0)
-    for mode in ("exact", "fast"):
+    for mode in ("exact", "fast", "hybrid"):
         cfg = AkazeConfig(capacity=256, descriptor_mode=mode)
         f1 = detect_and_compute(img1, cfg)
         f2 = detect_and_compute(img2, cfg)
@@ -171,7 +171,7 @@ def test_adaptive_buckets_equals_full(rng):
     single full-capacity branch in both descriptor modes — the switch
     only skips slots that are masked zeros either way."""
     img = _corners_img(rng, n=256, k=24)
-    for mode in ("exact", "fast"):
+    for mode in ("exact", "fast", "hybrid"):
         cfg_a = AkazeConfig(capacity=1024, descriptor_mode=mode,
                             adaptive_buckets=4)
         cfg_f = AkazeConfig(capacity=1024, descriptor_mode=mode,
@@ -361,18 +361,20 @@ def test_hybrid_descriptor_mode(rng):
     unchanged, strictly closer to exact than fast mode, and the static
     subcell geometry reproduces each cell's discrete mean position."""
     from cubesat_apds_tpu.ops.features.mldb import (_CELL_CENTERS,
-                                                    _SUBCELL)
+                                                    _subcell)
 
     # Weighted subcell centers == the fast mode's cell centers (the
-    # discrete mean sample position of every cell), per grid.
-    for g in range(3):
-        _, cc = _CELL_CENTERS[g]
-        _, centers, weights = _SUBCELL[g]
-        n_cells = len(cc)
-        c4 = centers.reshape(n_cells, 4, 2)
-        w4 = weights.reshape(n_cells, 4, 1)
-        np.testing.assert_allclose((c4 * w4).sum(1), cc, atol=1e-5)
-        np.testing.assert_allclose(w4.sum(1), 1.0, atol=1e-6)
+    # discrete mean sample position of every cell), per grid and per
+    # subdivision.
+    for sub in (2, 3):
+        for g in range(3):
+            _, cc = _CELL_CENTERS[g]
+            _, centers, weights, m = _subcell(sub)[g]
+            n_cells = len(cc)
+            c4 = centers.reshape(n_cells, m * m, 2)
+            w4 = weights.reshape(n_cells, m * m, 1)
+            np.testing.assert_allclose((c4 * w4).sum(1), cc, atol=1e-5)
+            np.testing.assert_allclose(w4.sum(1), 1.0, atol=1e-6)
 
     base = _corners_img(rng, n=256, k=16)
     f_e = detect_and_compute(base, AkazeConfig(capacity=512))
