@@ -1,4 +1,4 @@
-"""Command-line interface: preprocess / localize / stream / calibrate / bench.
+"""Command-line interface: preprocess / localize / stream / match / calibrate / bench.
 
 Replaces the reference's clap CLIs (preprocessor/src/main.rs:22-66,
 calibrator/src/main.rs:12-25) and adds the `localize` and `stream`
@@ -328,6 +328,47 @@ def _cmd_stream(args):
     return 0
 
 
+def _cmd_match(args):
+    """Two-image feature matching + optional side-by-side export — the
+    CLI form of the reference's public get_knn_matches /
+    get_bruteforce_matches / export_matches trio
+    (feature_extraction/src/lib.rs:94-155)."""
+    import numpy as np
+    from PIL import Image
+
+    from cubesat_apds_tpu.core.config import AkazeConfig
+    from cubesat_apds_tpu.ops.features.akaze import detect_and_compute
+    from cubesat_apds_tpu.ops.match import crosscheck_match, knn_match
+
+    imgs = []
+    for path in (args.img1, args.img2):
+        with Image.open(path) as im:
+            imgs.append(np.asarray(im.convert("F"), np.float32) / 255.0)
+    cfg = AkazeConfig()
+    f1 = detect_and_compute(imgs[0], cfg)
+    f2 = detect_and_compute(imgs[1], cfg)
+    if args.crosscheck:
+        m = crosscheck_match(f1.descriptors, f2.descriptors,
+                             q_valid=f1.keypoints.valid,
+                             db_valid=f2.keypoints.valid)
+    else:
+        m = knn_match(f1.descriptors, f2.descriptors, ratio=args.ratio,
+                      q_valid=f1.keypoints.valid,
+                      db_valid=f2.keypoints.valid)
+    out = {
+        "keypoints": [int(f1.keypoints.count()), int(f2.keypoints.count())],
+        "matches": int(m.count()),
+        "mode": "crosscheck" if args.crosscheck else f"knn ratio={args.ratio}",
+    }
+    if args.out:
+        from cubesat_apds_tpu.utils.viz import export_matches
+
+        export_matches(imgs[0], f1, imgs[1], f2, m, args.out)
+        out["viz"] = args.out
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def _cmd_calibrate(args):
     from cubesat_apds_tpu.pipelines.calibrate import (
         calibrate_from_images,
@@ -415,6 +456,18 @@ def main(argv=None):
                     "sharded over dp, the DB over tp (batch rounds up "
                     "to a dp multiple)")
     ps.set_defaults(fn=_cmd_stream)
+
+    pm = sub.add_parser(
+        "match", help="match two images (kNN ratio / crosscheck)")
+    pm.add_argument("img1")
+    pm.add_argument("img2")
+    pm.add_argument("--ratio", type=float, default=0.3,
+                    help="Lowe ratio (reference test default 0.3)")
+    pm.add_argument("--crosscheck", action="store_true",
+                    help="mutual-nearest instead of kNN+ratio")
+    pm.add_argument("-o", "--out", help="write a side-by-side match "
+                    "visualization here")
+    pm.set_defaults(fn=_cmd_match)
 
     pc = sub.add_parser("calibrate", help="camera intrinsics")
     pc.add_argument("img_path")

@@ -342,3 +342,30 @@ def test_cli_localize_viz(scene, capsys):
     assert [o["viz"] for o in outs] == [str(tmp_path / "viz_0.png"),
                                         str(tmp_path / "viz_1.png")]
     assert all(os.path.exists(o["viz"]) for o in outs)
+
+
+def test_cli_match(scene, capsys, tmp_path):
+    """`match` runs two images through kNN-ratio (and crosscheck)
+    matching and can export the side-by-side visualization — the CLI
+    form of the reference's get_knn_matches/get_bruteforce_matches/
+    export_matches (feature_extraction/src/lib.rs:94-155)."""
+    _, _, img = scene
+    from PIL import Image
+
+    f1 = str(tmp_path / "m1.png")
+    f2 = str(tmp_path / "m2.png")
+    Image.fromarray((img * 255).astype(np.uint8)).save(f1)
+    Image.fromarray((np.roll(img, 4, axis=1) * 255).astype(np.uint8)).save(f2)
+    viz = str(tmp_path / "matches.png")
+
+    rc = main(["match", f1, f2, "--ratio", "0.7", "-o", viz])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["matches"] > 0 and out["keypoints"][0] > 0
+    with Image.open(viz) as im:
+        assert im.size == (2 * img.shape[1], img.shape[0])
+
+    rc = main(["match", f1, f2, "--crosscheck"])
+    assert rc == 0
+    out2 = json.loads(capsys.readouterr().out)
+    assert out2["mode"] == "crosscheck" and out2["matches"] > 0
