@@ -192,6 +192,12 @@ def _cmd_localize(args):
     else:
         localizer = Localizer(store, camera)
     results = []
+    profiler_cm = None
+    if args.profile:
+        from cubesat_apds_tpu.utils.profiling import device_trace
+
+        profiler_cm = device_trace(args.profile)
+        profiler_cm.__enter__()
     for path, frame in zip(args.frame, frames):
         t0 = time.perf_counter()
         if args.coarse_to_fine:
@@ -223,6 +229,9 @@ def _cmd_localize(args):
             out["viz"] = _write_localize_viz(
                 args.viz, len(args.frame), len(results), frame, res)
         results.append(out)
+    if profiler_cm is not None:
+        profiler_cm.__exit__(None, None, None)
+        print(f"device trace -> {args.profile}", file=sys.stderr)
     print(json.dumps(results[0] if len(results) == 1 else results,
                      indent=2))
     return 0
@@ -435,6 +444,8 @@ def main(argv=None):
     pl.add_argument("--viz", help="write a keypoint/match/inlier "
                     "visualization PNG here (per-frame suffix when "
                     "several frames are given)")
+    pl.add_argument("--profile", help="capture a jax.profiler device "
+                    "trace (xplane + trace.json.gz) under this dir")
     pl.add_argument("--coarse-to-fine", action="store_true",
                     help="two-stage: match the coarsest LoD first, then "
                     "only LoD-0 keypoints inside the projected window "
