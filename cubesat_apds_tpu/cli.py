@@ -31,6 +31,16 @@ def _open_store(path: str):
     return FeatureStore.load(path)
 
 
+def _load_gray(path):
+    """Load an image as float32 grayscale in [0, 1] — the ONE loading
+    idiom for every CLI frame input (localize, match)."""
+    import numpy as np
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("F"), np.float32) / 255.0
+
+
 def _camera_from_args(camera_path, shape):
     """CameraModel from a calibrate-produced json, or the ideal-camera
     fallback derived from the frame geometry."""
@@ -164,10 +174,7 @@ def _cmd_localize(args):
         Localizer, load_device_db, localize_coarse_to_fine)
 
     store = _open_store(args.store)
-    frames = []
-    for path in args.frame:
-        with Image.open(path) as im:
-            frames.append(np.asarray(im.convert("F"), np.float32) / 255.0)
+    frames = [_load_gray(path) for path in args.frame]
     # Ideal-camera fallback uses the FIRST frame's geometry; require
     # uniform frame sizes so later frames aren't misnormalized by a
     # wrong principal point (pass --camera for mixed sizes).
@@ -191,46 +198,50 @@ def _cmd_localize(args):
         coarse_db = load_device_db(store, coarse_lod)
     else:
         localizer = Localizer(store, camera)
+    import contextlib
+
     results = []
-    profiler_cm = None
+    stack = contextlib.ExitStack()
     if args.profile:
+        # ExitStack guarantees jax.profiler.stop_trace runs (and the
+        # trace is written) even when a frame raises mid-loop.
         from cubesat_apds_tpu.utils.profiling import device_trace
 
-        profiler_cm = device_trace(args.profile)
-        profiler_cm.__enter__()
-    for path, frame in zip(args.frame, frames):
-        t0 = time.perf_counter()
-        if args.coarse_to_fine:
-            res, coarse, window = localize_coarse_to_fine(
-                frame, store, camera, PipelineConfig(),
-                coarse_db=coarse_db)
-        else:
-            res = localizer.localize(frame, lod=args.lod)
-        dt = time.perf_counter() - t0
-        out = {
-            "frame": path,
-            "keypoints": int(res.num_keypoints),
-            "matches": int(res.num_matches),
-            "homography_ok": bool(res.homography.ok),
-            "homography": np.asarray(res.homography.H).tolist(),
-            "inliers": int(res.homography.num_inliers),
-            "seconds": round(dt, 3),
-        }
-        if args.coarse_to_fine:
-            out["coarse_ok"] = bool(coarse.homography.ok)
-            out["window"] = (None if window is None
-                             else [round(float(v), 2) for v in window])
-        if res.pose is not None:
-            out["pose_ok"] = bool(res.pose.ok)
-            out["rvec"] = np.asarray(res.pose.rvec).tolist()
-            out["tvec"] = np.asarray(res.pose.tvec).tolist()
-            out["pose_inliers"] = int(res.pose.num_inliers)
-        if args.viz:
-            out["viz"] = _write_localize_viz(
-                args.viz, len(args.frame), len(results), frame, res)
-        results.append(out)
-    if profiler_cm is not None:
-        profiler_cm.__exit__(None, None, None)
+        stack.enter_context(device_trace(args.profile))
+    with stack:
+        for path, frame in zip(args.frame, frames):
+            t0 = time.perf_counter()
+            if args.coarse_to_fine:
+                res, coarse, window = localize_coarse_to_fine(
+                    frame, store, camera, PipelineConfig(),
+                    coarse_db=coarse_db)
+            else:
+                res = localizer.localize(frame, lod=args.lod)
+            dt = time.perf_counter() - t0
+            out = {
+                "frame": path,
+                "keypoints": int(res.num_keypoints),
+                "matches": int(res.num_matches),
+                "homography_ok": bool(res.homography.ok),
+                "homography": np.asarray(res.homography.H).tolist(),
+                "inliers": int(res.homography.num_inliers),
+                "seconds": round(dt, 3),
+            }
+            if args.coarse_to_fine:
+                out["coarse_ok"] = bool(coarse.homography.ok)
+                out["window"] = (None if window is None
+                                 else [round(float(v), 2)
+                                       for v in window])
+            if res.pose is not None:
+                out["pose_ok"] = bool(res.pose.ok)
+                out["rvec"] = np.asarray(res.pose.rvec).tolist()
+                out["tvec"] = np.asarray(res.pose.tvec).tolist()
+                out["pose_inliers"] = int(res.pose.num_inliers)
+            if args.viz:
+                out["viz"] = _write_localize_viz(
+                    args.viz, len(args.frame), len(results), frame, res)
+            results.append(out)
+    if args.profile:
         print(f"device trace -> {args.profile}", file=sys.stderr)
     print(json.dumps(results[0] if len(results) == 1 else results,
                      indent=2))
@@ -349,10 +360,7 @@ def _cmd_match(args):
     from cubesat_apds_tpu.ops.features.akaze import detect_and_compute
     from cubesat_apds_tpu.ops.match import crosscheck_match, knn_match
 
-    imgs = []
-    for path in (args.img1, args.img2):
-        with Image.open(path) as im:
-            imgs.append(np.asarray(im.convert("F"), np.float32) / 255.0)
+    imgs = [_load_gray(path) for path in (args.img1, args.img2)]
     cfg = AkazeConfig()
     f1 = detect_and_compute(imgs[0], cfg)
     f2 = detect_and_compute(imgs[1], cfg)

@@ -104,9 +104,34 @@ class AkazeConfig:
     # compile time) — see benchmarks/exp_r3g_adaptive.py.
     adaptive_buckets: int = 1
 
+    def __post_init__(self):
+        # An unrecognized mode string would silently fall through the
+        # three-way dispatch to exact sampling (and stamp stores with a
+        # tag no config can ever match) — reject it up front.
+        if self.descriptor_mode not in ("exact", "fast", "hybrid"):
+            raise ValueError(
+                f"descriptor_mode={self.descriptor_mode!r}: expected "
+                "'exact', 'fast' or 'hybrid'")
+        if self.orientation_mode not in ("exact", "fast"):
+            raise ValueError(
+                f"orientation_mode={self.orientation_mode!r}: expected "
+                "'exact' or 'fast'")
+        if self.descriptor_mode == "hybrid" and self.hybrid_subcells < 2:
+            raise ValueError("hybrid_subcells must be >= 2")
+
     @property
     def num_levels(self) -> int:
         return self.octaves * self.sublevels
+
+    @property
+    def descriptor_tag(self) -> str:
+        """Provenance string for stores: which sampling produced the
+        descriptor bits. Hybrid bits differ per subdivision, so the tag
+        carries it ("hybrid2" vs "hybrid3") — the store/config mix-guard
+        compares tags, not bare mode names."""
+        if self.descriptor_mode == "hybrid":
+            return f"hybrid{self.hybrid_subcells}"
+        return self.descriptor_mode
 
 
 @dataclasses.dataclass(frozen=True)

@@ -86,15 +86,9 @@ def _orient_describe(packed, level_hw, combined,
         packed, level_hw, xy, size, class_id, octave, valid,
         mode=config.orientation_mode)
     if config.descriptor_mode in ("fast", "hybrid"):
-        from cubesat_apds_tpu.ops.features.mldb import (
-            mldb_descriptors_fast, mldb_descriptors_hybrid)
+        from cubesat_apds_tpu.ops.features.mldb import approx_mldb_fn
 
-        if config.descriptor_mode == "fast":
-            fn = mldb_descriptors_fast
-        else:
-            fn = functools.partial(mldb_descriptors_hybrid,
-                                   sub=config.hybrid_subcells)
-        desc = fn(
+        desc = approx_mldb_fn(config)(
             combined, level_hw, combined.shape[0] // 3, xy, size, angle,
             class_id, octave, valid)
     else:
@@ -206,16 +200,11 @@ def detect_and_compute(img, config: AkazeConfig = AkazeConfig(),
                                   level_hw, lvl)
 
     if config.descriptor_mode in ("fast", "hybrid"):
-        from cubesat_apds_tpu.ops.features.mldb import (
-            fast_blur_sigmas, hybrid_blur_sigmas)
+        from cubesat_apds_tpu.ops.features.mldb import approx_blur_sigmas_fn
 
         from cubesat_apds_tpu.ops.resample import gaussian_blur
 
-        if config.descriptor_mode == "fast":
-            sigmas_fn = fast_blur_sigmas
-        else:
-            sigmas_fn = functools.partial(hybrid_blur_sigmas,
-                                          sub=config.hybrid_subcells)
+        sigmas_fn = approx_blur_sigmas_fn(config)
 
         # Per-grid-level blur-matched pyramids: each level has ONE static
         # scale s, so the matched σ per (level, grid) is static too.
@@ -260,15 +249,9 @@ def detect_and_compute(img, config: AkazeConfig = AkazeConfig(),
         octave=kps.octave, class_id=kps.class_id, valid=kps.valid)
 
     if config.descriptor_mode in ("fast", "hybrid"):
-        from cubesat_apds_tpu.ops.features.mldb import (
-            mldb_descriptors_fast, mldb_descriptors_hybrid)
+        from cubesat_apds_tpu.ops.features.mldb import approx_mldb_fn
 
-        if config.descriptor_mode == "fast":
-            fn = mldb_descriptors_fast
-        else:
-            fn = functools.partial(mldb_descriptors_hybrid,
-                                   sub=config.hybrid_subcells)
-        desc = fn(
+        desc = approx_mldb_fn(config)(
             combined, level_hw, len(ss.Lt), kps.xy, kps.size, kps.angle,
             kps.class_id, kps.octave, kps.valid)
     else:

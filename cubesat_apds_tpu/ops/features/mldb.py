@@ -203,6 +203,29 @@ def _subcell(sub: int):
     return _SUBCELL_CACHE[sub]
 
 
+def approx_mldb_fn(config):
+    """The approximate-mode descriptor function for a config — the ONE
+    dispatch point for fast/hybrid (callers must not re-implement this
+    switch). Returns f(combined_stack, level_hw, n_levels, xy, size,
+    angle, class_id, octave, valid)."""
+    import functools
+
+    if config.descriptor_mode == "fast":
+        return mldb_descriptors_fast
+    return functools.partial(mldb_descriptors_hybrid,
+                             sub=config.hybrid_subcells)
+
+
+def approx_blur_sigmas_fn(config):
+    """The blur-σ function paired with approx_mldb_fn (same dispatch)."""
+    import functools
+
+    if config.descriptor_mode == "fast":
+        return fast_blur_sigmas
+    return functools.partial(hybrid_blur_sigmas,
+                             sub=config.hybrid_subcells)
+
+
 def hybrid_blur_sigmas(scale: int, sub: int = 2):
     """Per-grid σ (level pixels) matching a box mean over a 1/sub cell
     part (step·scale/sub wide): σ = step·scale/(sub·√12)."""

@@ -163,12 +163,12 @@ def check_descriptor_mode(store, config: PipelineConfig):
     record their mode at preprocess time (None = pre-provenance store,
     accepted as-is)."""
     mode = getattr(store, "descriptor_mode", None)
-    want = config.akaze.descriptor_mode
+    want = config.akaze.descriptor_tag
     if mode is not None and mode != want:
         raise ValueError(
             f"store was built with descriptor_mode='{mode}' but the "
-            f"pipeline config uses '{want}' — descriptors across modes "
-            f"don't match; pass a config with descriptor_mode='{mode}' "
+            f"pipeline config produces '{want}' — descriptors across "
+            f"modes don't match; pass a config matching '{mode}' "
             "or rebuild the store")
 
 

@@ -56,16 +56,17 @@ def preprocess(
     sharded run is element-wise identical to the single-device run.
     """
     store = store or FeatureStore()
-    # Stamp descriptor provenance: exact and fast descriptors don't mix,
-    # so the store records which mode built it (checked at serve time).
-    mode = config.akaze.descriptor_mode
-    if store.descriptor_mode is not None and store.descriptor_mode != mode:
+    # Stamp descriptor provenance: sampling modes (and hybrid
+    # subdivisions) don't mix, so the store records which TAG built it
+    # (AkazeConfig.descriptor_tag, checked at serve time).
+    tag = config.akaze.descriptor_tag
+    if store.descriptor_mode is not None and store.descriptor_mode != tag:
         raise ValueError(
             f"store holds descriptor_mode='{store.descriptor_mode}' "
-            f"descriptors but config.akaze.descriptor_mode='{mode}' — "
+            f"descriptors but the config produces '{tag}' — "
             "mixed-mode descriptors don't match; use a matching config "
             "or a fresh store")
-    store.descriptor_mode = mode
+    store.descriptor_mode = tag
     stats = PreprocessStats()
     log = progress or (lambda s: None)
 

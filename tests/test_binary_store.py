@@ -259,3 +259,30 @@ def test_descriptor_mode_provenance(rng, tmp_path):
     extra.descriptor_mode = "fast"
     append_binary_store(str(tmp_path / "bin"), extra)
     assert BinaryFeatureStore(str(tmp_path / "bin")).descriptor_mode == "fast"
+
+
+def test_descriptor_tag_includes_hybrid_subdivision(rng, tmp_path):
+    """hybrid sub=2 and sub=3 bits are incompatible, so the provenance
+    tag carries the subdivision and the mix-guard separates them."""
+    import dataclasses
+
+    from cubesat_apds_tpu.core.config import AkazeConfig, PipelineConfig
+    from cubesat_apds_tpu.core.types import CameraModel
+    from cubesat_apds_tpu.pipelines.localize import Localizer
+
+    h2 = AkazeConfig(descriptor_mode="hybrid", hybrid_subcells=2)
+    h3 = AkazeConfig(descriptor_mode="hybrid", hybrid_subcells=3)
+    assert h2.descriptor_tag == "hybrid2" and h3.descriptor_tag == "hybrid3"
+
+    store = _build_store(rng)
+    store.descriptor_mode = "hybrid2"
+    cam = CameraModel.ideal(100.0, 100.0, 50.0, 50.0)
+    cfg3 = dataclasses.replace(PipelineConfig(), akaze=h3)
+    with pytest.raises(ValueError, match="hybrid2"):
+        Localizer(store, cam, config=cfg3)
+    Localizer(store, cam, config=dataclasses.replace(PipelineConfig(),
+                                                     akaze=h2))
+
+    # Unknown mode strings are rejected at config construction.
+    with pytest.raises(ValueError, match="descriptor_mode"):
+        AkazeConfig(descriptor_mode="hybird")
