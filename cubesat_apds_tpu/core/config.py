@@ -11,7 +11,7 @@ preprocessor/src/level_of_detail.rs:4.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 # Reference: feature_extraction/src/lib.rs:12-13
 MAX_POINTS_SHIFT = 18

@@ -21,7 +21,6 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from cubesat_apds_tpu.core.config import GAMMA_VALUE, MosaicConfig
 from cubesat_apds_tpu.io.tiff import GeoRaster, list_rasters, read_geotiff
 
 

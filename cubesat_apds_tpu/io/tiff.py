@@ -19,10 +19,10 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
-from PIL import Image, TiffTags
+from PIL import Image
 
 Image.MAX_IMAGE_PIXELS = None  # satellite mosaics exceed PIL's default cap
 

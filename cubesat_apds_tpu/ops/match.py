@@ -29,7 +29,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from cubesat_apds_tpu.core.config import DESC_BITS_PADDED, DESC_BYTES
+from cubesat_apds_tpu.core.config import DESC_BITS_PADDED
 from cubesat_apds_tpu.core.types import Matches
 
 _INVALID_DIST = jnp.float32(3.0e38)

@@ -9,9 +9,8 @@ the solve rather than passed through (main.rs:42-55 quirk).
 
 from __future__ import annotations
 
-import dataclasses
 import os
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -33,7 +33,7 @@ from cubesat_apds_tpu.core.types import (
 from cubesat_apds_tpu.ops.features.akaze import detect_and_compute
 from cubesat_apds_tpu.ops.geometry.homography import find_homography_ransac
 from cubesat_apds_tpu.ops.geometry.pnp import solve_pnp_ransac
-from cubesat_apds_tpu.ops.match import knn_match, matched_points, unpack_bits
+from cubesat_apds_tpu.ops.match import knn_match, matched_points
 from cubesat_apds_tpu.store.feature_store import FeatureStore
 
 
