@@ -1,5 +1,6 @@
-"""Round-3 check: e2e per-frame ms for exact vs fast after the
-flat-gather sampler change (hardened protocol)."""
+"""Round-3 check: e2e per-frame ms per descriptor mode (exact/fast/
+hybrid) after the flat-gather sampler change (hardened protocol).
+Usage: python benchmarks/exp_r3_e2e.py [mode1,mode2,...]"""
 
 from __future__ import annotations
 
@@ -51,7 +52,9 @@ def main():
     )
     camera = CameraModel.ideal(500.0, 500.0, 256.0, 256.0)
 
-    for mode in ("exact", "fast"):
+    modes = tuple(sys.argv[1].split(",")) if len(sys.argv) > 1 else (
+        "exact", "fast", "hybrid")
+    for mode in modes:
         cfg = PipelineConfig(
             akaze=AkazeConfig(capacity=2048, descriptor_mode=mode),
             match=MatchConfig(ratio=0.75),
