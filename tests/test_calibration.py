@@ -154,3 +154,16 @@ def test_chessboard_detection_perspective_warps():
         corners, found = find_chessboard_corners(jnp.asarray(img), NX, NY)
         n_found += bool(found)
     assert n_found >= 5, f"only {n_found}/6 warped boards detected"
+
+
+def test_calibrate_from_images_guards(rng):
+    """The reference's >=10-image assert (calibrator main.rs:30-34) and
+    the too-few-detections refusal both raise with clear messages."""
+    from cubesat_apds_tpu.pipelines.calibrate import calibrate_from_images
+
+    blank = [np.zeros((64, 64), np.float32) for _ in range(3)]
+    with pytest.raises(ValueError, match="needs >= "):
+        calibrate_from_images(blank, (7, 6))
+    blanks = [np.zeros((64, 64), np.float32) for _ in range(12)]
+    with pytest.raises(ValueError, match="detectable"):
+        calibrate_from_images(blanks, (7, 6))
