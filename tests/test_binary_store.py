@@ -286,3 +286,84 @@ def test_descriptor_tag_includes_hybrid_subdivision(rng, tmp_path):
     # Unknown mode strings are rejected at config construction.
     with pytest.raises(ValueError, match="descriptor_mode"):
         AkazeConfig(descriptor_mode="hybird")
+
+
+def test_binary_store_fuzz_vs_model(rng, tmp_path):
+    """Model-based fuzz: a random interleaving of segment appends,
+    cascaded deletes, and disk reopens must keep every query
+    (response-DESC LoD scan, spatial window) identical to an in-RAM
+    FeatureStore replaying the same operations. Pins the segmented
+    order-index/alive-bitmap machinery to the reference's Postgres
+    semantics (keypointdb.rs:50-90, imagedb.rs:66-72) under mutation,
+    not just single-shot round-trips."""
+    from cubesat_apds_tpu.store.binary_store import append_binary_store
+
+    path = str(tmp_path / "fuzz")
+
+    def make_batch(n_imgs):
+        s = FeatureStore()
+        data = []
+        for _ in range(n_imgs):
+            lod = int(rng.integers(0, 3))
+            n = int(rng.integers(20, 80))
+            x = rng.uniform(0, 1000, n).astype(np.float32)
+            y = rng.uniform(0, 1000, n).astype(np.float32)
+            resp = rng.uniform(0, 1, n).astype(np.float32)
+            desc = rng.integers(0, 256, (n, DESC_BYTES), dtype=np.uint8)
+            iid = s.create_image(0, 0, 1000, 1000, lod)
+            s.add_keypoints(iid, x, y,
+                            size=np.full(n, 4.8, np.float32),
+                            angle=np.zeros(n, np.float32), response=resp,
+                            octave=np.zeros(n, np.int32),
+                            class_id=np.zeros(n, np.int32),
+                            descriptors=desc)
+            data.append((lod, x, y, resp, desc))
+        return s, data
+
+    ref = FeatureStore()   # the in-RAM model, replaying every op
+
+    def replay(data):
+        for lod, x, y, resp, desc in data:
+            n = len(x)
+            iid = ref.create_image(0, 0, 1000, 1000, lod)
+            ref.add_keypoints(iid, x, y,
+                              size=np.full(n, 4.8, np.float32),
+                              angle=np.zeros(n, np.float32), response=resp,
+                              octave=np.zeros(n, np.int32),
+                              class_id=np.zeros(n, np.int32),
+                              descriptors=desc)
+
+    first, data = make_batch(3)
+    write_binary_store(first, path)
+    replay(data)
+    b = BinaryFeatureStore(path)
+
+    def check():
+        assert len(b) == len(ref)
+        assert sorted(b.images.keys()) == sorted(ref._images.keys())
+        for lod in (0, 1, 2):
+            c_r, d_r = ref.read_keypoints_from_lod(lod)
+            c_b, d_b = b.read_keypoints_from_lod(lod)
+            np.testing.assert_array_equal(d_r, d_b)
+            np.testing.assert_allclose(c_r["x"], c_b["x"])
+        c_r, d_r = ref.read_keypoints_from_coordinates(
+            200.0, 700.0, 100.0, 900.0, 0)
+        c_b, d_b = b.read_keypoints_from_coordinates(
+            200.0, 700.0, 100.0, 900.0, 0)
+        np.testing.assert_array_equal(d_r, d_b)
+
+    check()
+    for _ in range(8):
+        op = rng.choice(["append", "delete", "reopen"])
+        if op == "append":
+            batch, data = make_batch(int(rng.integers(1, 3)))
+            append_binary_store(path, batch)
+            replay(data)
+            b = BinaryFeatureStore(path)   # appends require reopen
+        elif op == "delete" and len(b.images) > 1:
+            victim = int(rng.choice(sorted(b.images.keys())))
+            b.delete_image(victim)
+            ref.delete_image(victim)
+        else:
+            b = BinaryFeatureStore(path)
+        check()
