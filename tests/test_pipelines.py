@@ -238,3 +238,25 @@ def test_preprocess_ragged_no_duplicate_keypoints(tmp_path, rng):
         same_desc = (desc[np.arange(len(xy))[twins]]
                      == desc[idx[twins, 1]]).all(axis=1)
         assert not same_desc.any(), "duplicate keypoints stored"
+
+
+def test_hybrid_mode_end_to_end(mosaic_dir):
+    """Full preprocess → localize slice in descriptor_mode='hybrid':
+    the store is stamped with the subdivision tag and a same-scene frame
+    localizes with a near-identity homography."""
+    import dataclasses
+
+    path, img = mosaic_dir
+    cfg = dataclasses.replace(
+        CFG, akaze=dataclasses.replace(CFG.akaze,
+                                       descriptor_mode="hybrid"))
+    ds = MosaicDataset.from_folder(str(path))
+    store, stats = preprocess(ds, config=cfg, amount_lod=1)
+    assert store.descriptor_mode == "hybrid2"
+    assert stats.keypoints > 0
+
+    cam = CameraModel.ideal(256.0, 256.0, 128.0, 128.0)
+    res = localize_frame(jnp.asarray(img), store, cam, config=cfg)
+    assert bool(res.homography.ok)
+    H = np.asarray(res.homography.H)
+    np.testing.assert_allclose(H, np.eye(3), atol=1.5)
