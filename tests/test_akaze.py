@@ -396,3 +396,22 @@ def test_hybrid_descriptor_mode(rng):
     assert flips_h.mean() < 0.6 * flips_f.mean(), \
         f"hybrid {flips_h.mean():.1f} vs fast {flips_f.mean():.1f}"
     assert np.median(flips_h) < 45, f"median {np.median(flips_h)}/486"
+
+
+def test_fast_orientation_mode(rng):
+    """orientation_mode='fast' (55-point checkerboard subset of the
+    109-point disc) must agree with exact orientation for the bulk of
+    keypoints — the resultant vector estimate just gets √2 more noise,
+    not a different convention."""
+    base = _corners_img(rng, n=256, k=16)
+    f_e = detect_and_compute(base, AkazeConfig(capacity=512))
+    f_f = detect_and_compute(base, AkazeConfig(capacity=512,
+                                               orientation_mode="fast"))
+    v = np.asarray(f_e.keypoints.valid)
+    ae = np.asarray(f_e.keypoints.angle)[v]
+    af = np.asarray(f_f.keypoints.angle)[v]
+    # circular distance
+    d = np.abs(np.angle(np.exp(1j * (ae - af))))
+    frac = float((d < 0.2).mean())
+    assert frac > 0.8, f"only {frac:.2f} of angles within 0.2 rad"
+    assert float(np.median(d)) < 0.05, f"median {np.median(d):.3f} rad"
