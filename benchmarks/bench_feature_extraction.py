@@ -80,7 +80,7 @@ def main():
             # image — no per-batch host traffic).
             img_dev = jnp.asarray(synth_satellite(size))
 
-            def run(iters):
+            def run(iters, salt0):
                 # Device-resident tiled merge (round 3): per-iteration
                 # results stay on device; a chained scalar accumulator
                 # fetched ONCE forces every execution (the hardened
@@ -90,15 +90,18 @@ def main():
                 out = None
                 for i in range(iters):
                     out = detect_and_compute_tiled(
-                        img_dev + jnp.float32((entropy + i) * 1e-7), cfg,
+                        img_dev + jnp.float32((salt0 + i) * 1e-7), cfg,
                         tile=1024, overlap=64, tile_batch=4)
                     s = out.keypoints.response.sum()
                     acc = s if acc is None else acc + s
                 float(acc)
                 return time.perf_counter() - t0 - rtt, out
 
-            run(1)  # compile + warmup
-            dt, out = run(iters)
+            # Warmup salt is offset past every timed salt so the relay's
+            # cross-process result cache can never serve a timed
+            # iteration (same trick as the non-tiled branch).
+            run(1, entropy + 10000.0)  # compile + warmup
+            dt, out = run(iters, entropy)
             dt /= iters
             n_kp = int(out.keypoints.count())
         else:

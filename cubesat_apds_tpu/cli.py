@@ -31,6 +31,35 @@ def _open_store(path: str):
     return FeatureStore.load(path)
 
 
+def _akaze_from_tag(tag: str):
+    """AkazeConfig for a descriptor provenance tag: 'exact', 'fast',
+    'hybrid' or 'hybridN' (AkazeConfig.descriptor_tag grammar)."""
+    from cubesat_apds_tpu.core.config import AkazeConfig
+
+    if tag.startswith("hybrid") and tag != "hybrid":
+        try:
+            sub = int(tag[len("hybrid"):])
+        except ValueError:
+            raise SystemExit(f"--descriptor-mode {tag!r}: expected exact, "
+                             "fast, hybrid or hybridN")
+        return AkazeConfig(descriptor_mode="hybrid", hybrid_subcells=sub)
+    if tag not in ("exact", "fast", "hybrid"):
+        raise SystemExit(f"--descriptor-mode {tag!r}: expected exact, "
+                         "fast, hybrid or hybridN")
+    return AkazeConfig(descriptor_mode=tag)
+
+
+def _store_config(store, mode_arg):
+    """Pipeline config for serving against a store: an explicit
+    --descriptor-mode wins (check_descriptor_mode still validates it
+    downstream); otherwise ADOPT the store's recorded provenance tag —
+    fast/hybrid-built stores work from the CLI with no flag at all."""
+    from cubesat_apds_tpu.core.config import PipelineConfig
+
+    tag = mode_arg or getattr(store, "descriptor_mode", None) or "exact"
+    return PipelineConfig(akaze=_akaze_from_tag(tag))
+
+
 def _load_gray(path):
     """Load an image as float32 grayscale in [0, 1] — the ONE loading
     idiom for every CLI frame input (localize, match)."""
@@ -63,7 +92,6 @@ def _cmd_preprocess(args):
     from cubesat_apds_tpu.core.config import PipelineConfig
     from cubesat_apds_tpu.io.mosaic import MosaicDataset
     from cubesat_apds_tpu.pipelines.preprocess import preprocess
-    from cubesat_apds_tpu.store.feature_store import FeatureStore
 
     if args.mosaic:
         ds = MosaicDataset.from_materialized(args.mosaic)
@@ -106,7 +134,8 @@ def _cmd_preprocess(args):
                          devices=avail[:args.devices])
     t0 = time.perf_counter()
     store, stats = preprocess(
-        ds, config=PipelineConfig(), amount_lod=args.lod or None,
+        ds, config=PipelineConfig(akaze=_akaze_from_tag(args.descriptor_mode)),
+        amount_lod=args.lod or None,
         tile_batch=args.tile_batch, elevation_path=args.elevation_path,
         progress=print, mesh=mesh)
     if args.binary:
@@ -167,13 +196,12 @@ def _write_localize_viz(viz_path, n_frames, idx, frame, res):
 
 def _cmd_localize(args):
     import numpy as np
-    from PIL import Image
 
-    from cubesat_apds_tpu.core.config import PipelineConfig
     from cubesat_apds_tpu.pipelines.localize import (
         Localizer, load_device_db, localize_coarse_to_fine)
 
     store = _open_store(args.store)
+    config = _store_config(store, args.descriptor_mode)
     frames = [_load_gray(path) for path in args.frame]
     # Ideal-camera fallback uses the FIRST frame's geometry; require
     # uniform frame sizes so later frames aren't misnormalized by a
@@ -197,7 +225,7 @@ def _cmd_localize(args):
         coarse_lod = max(r.level_of_detail for r in recs)
         coarse_db = load_device_db(store, coarse_lod)
     else:
-        localizer = Localizer(store, camera)
+        localizer = Localizer(store, camera, config)
     import contextlib
 
     results = []
@@ -213,7 +241,7 @@ def _cmd_localize(args):
             t0 = time.perf_counter()
             if args.coarse_to_fine:
                 res, coarse, window = localize_coarse_to_fine(
-                    frame, store, camera, PipelineConfig(),
+                    frame, store, camera, config,
                     coarse_db=coarse_db)
             else:
                 res = localizer.localize(frame, lod=args.lod)
@@ -254,7 +282,6 @@ def _cmd_stream(args):
     import numpy as np
     from PIL import Image
 
-    from cubesat_apds_tpu.core.config import PipelineConfig
     from cubesat_apds_tpu.pipelines.localize import (check_descriptor_mode,
                                                      load_device_db)
     from cubesat_apds_tpu.pipelines.stream import StreamingLocalizer
@@ -291,7 +318,7 @@ def _cmd_stream(args):
         first = np.asarray(im.convert("L"), np.uint8)
     camera = _camera_from_args(args.camera, first.shape)
 
-    config = PipelineConfig()
+    config = _store_config(store, args.descriptor_mode)
     check_descriptor_mode(store, config)
     db = load_device_db(store, args.lod)
     mesh = None
@@ -353,15 +380,11 @@ def _cmd_match(args):
     CLI form of the reference's public get_knn_matches /
     get_bruteforce_matches / export_matches trio
     (feature_extraction/src/lib.rs:94-155)."""
-    import numpy as np
-    from PIL import Image
-
-    from cubesat_apds_tpu.core.config import AkazeConfig
     from cubesat_apds_tpu.ops.features.akaze import detect_and_compute
     from cubesat_apds_tpu.ops.match import crosscheck_match, knn_match
 
     imgs = [_load_gray(path) for path in (args.img1, args.img2)]
-    cfg = AkazeConfig()
+    cfg = _akaze_from_tag(args.descriptor_mode)
     f1 = detect_and_compute(imgs[0], cfg)
     f2 = detect_and_compute(imgs[1], cfg)
     if args.crosscheck:
@@ -441,6 +464,10 @@ def main(argv=None):
                     help="append these tiles as a new segment of an "
                          "existing --binary store (incremental DB growth)")
     pp.add_argument("-e", "--elevation-path")
+    pp.add_argument("--descriptor-mode", default="exact",
+                    help="AKAZE descriptor sampling used to BUILD the "
+                         "store: exact (default), fast, hybrid or hybridN"
+                         " — recorded as provenance in the store")
     pp.set_defaults(fn=_cmd_preprocess)
 
     pl = sub.add_parser("localize", help="frame -> pose")
@@ -454,6 +481,10 @@ def main(argv=None):
                     "several frames are given)")
     pl.add_argument("--profile", help="capture a jax.profiler device "
                     "trace (xplane + trace.json.gz) under this dir")
+    pl.add_argument("--descriptor-mode", default=None,
+                    help="override the descriptor mode (exact/fast/"
+                         "hybrid/hybridN); default: adopt the store's "
+                         "recorded mode")
     pl.add_argument("--coarse-to-fine", action="store_true",
                     help="two-stage: match the coarsest LoD first, then "
                     "only LoD-0 keypoints inside the projected window "
@@ -474,6 +505,10 @@ def main(argv=None):
     ps.add_argument("--mesh", help="DPxTP device mesh, e.g. 2x4: frames "
                     "sharded over dp, the DB over tp (batch rounds up "
                     "to a dp multiple)")
+    ps.add_argument("--descriptor-mode", default=None,
+                    help="override the descriptor mode (exact/fast/"
+                         "hybrid/hybridN); default: adopt the store's "
+                         "recorded mode")
     ps.set_defaults(fn=_cmd_stream)
 
     pm = sub.add_parser(
@@ -484,6 +519,9 @@ def main(argv=None):
                     help="Lowe ratio (reference test default 0.3)")
     pm.add_argument("--crosscheck", action="store_true",
                     help="mutual-nearest instead of kNN+ratio")
+    pm.add_argument("--descriptor-mode", default="exact",
+                    help="AKAZE descriptor sampling: exact (default), "
+                         "fast, hybrid or hybridN")
     pm.add_argument("-o", "--out", help="write a side-by-side match "
                     "visualization here")
     pm.set_defaults(fn=_cmd_match)

@@ -34,9 +34,9 @@ from cubesat_apds_tpu.utils.profiling import StageTimes
 
 
 def _pack_outputs(h, num_matches, num_keypoints, pose):
-    """Pack every scalar output into ONE [22] f32 vector: H (0–8),
+    """Pack every scalar output into ONE [21] f32 vector: H (0–8),
     h_ok/h_inliers/matches/keypoints (9–12), rvec (13–15), tvec (16–18),
-    pose_ok (19), pose_inliers (20), pad (21).
+    pose_ok (19), pose_inliers (20).
 
     The SINGLE definition of the packed layout — `_unpack` is the only
     consumer; both the single-frame and mesh-batched steps route here.
@@ -62,7 +62,7 @@ def _pack_outputs(h, num_matches, num_keypoints, pose):
 
 @functools.partial(jax.jit, static_argnames=("config", "solve_pose"))
 def _localize_packed(frame, db, camera, config, solve_pose):
-    """Localize one frame → the [22] packed vector (see _pack_outputs)."""
+    """Localize one frame → the [21] packed vector (see _pack_outputs)."""
     if frame.dtype == jnp.uint8:
         frame = frame.astype(jnp.float32) / 255.0
     r = localize_frame_jit(frame, db, camera, config, solve_pose)
@@ -73,7 +73,7 @@ def _localize_packed(frame, db, camera, config, solve_pose):
 def _make_packed_batch_step(mesh, camera, config, solve_pose):
     """Mesh-parallel batched packed step: frames [B, H, W] sharded over
     "dp", DB sharded over "tp" (via parallel.serve.shard_device_db) →
-    [B, 22] packed outputs. The streaming composition of
+    [B, 21] packed outputs. The streaming composition of
     parallel.serve's GSPMD serving step (VERDICT r2 weak #3)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -131,13 +131,14 @@ class StreamResult:
     rvec: Optional[np.ndarray]
     tvec: Optional[np.ndarray]
     pose_ok: Optional[bool]
+    pose_num_inliers: Optional[int]
     latency_s: float
 
 
 class StreamingLocalizer:
     """Continuous localization against a device-resident DB.
 
-    `batch` > 1 dispatches B frames per device step ([B, H, W] → [B, 22]
+    `batch` > 1 dispatches B frames per device step ([B, H, W] → [B, 21]
     packed) — one upload + one fetch per B frames, so a transfer-bound
     link (the ~200 ms tunnel RTT, PERF.md) sustains ≈ B frames per round
     trip instead of one. `mesh` composes the stream with the
@@ -312,6 +313,7 @@ class StreamingLocalizer:
             rvec=(packed[13:16] if self.solve_pose else None),
             tvec=(packed[16:19] if self.solve_pose else None),
             pose_ok=(bool(packed[19] > 0) if self.solve_pose else None),
+            pose_num_inliers=(int(packed[20]) if self.solve_pose else None),
             latency_s=latency_s,
         )
 

@@ -166,6 +166,31 @@ def append_binary_store(path: str, store: FeatureStore):
             f"append descriptor_mode mismatch: store was built with "
             f"'{old_mode}', appended data with '{store.descriptor_mode}'")
     manifest["descriptor_mode"] = old_mode or store.descriptor_mode
+    # Elevation: adopt when the base store has none (write the raster +
+    # flip has_elevation — mirroring write_binary_store); when both
+    # sides carry one they must agree, like the geotransforms above —
+    # silently keeping a stale DEM would skew every world coordinate.
+    if store._elevation is not None:
+        if not manifest.get("has_elevation", False):
+            np.save(os.path.join(path, "elevation.npy"), store._elevation)
+            np.save(os.path.join(path, "elevation_gt.npy"),
+                    store._elevation_gt)
+            manifest["has_elevation"] = True
+        else:
+            old_gt = np.load(os.path.join(path, "elevation_gt.npy"))
+            old_el = np.load(os.path.join(path, "elevation.npy"),
+                             mmap_mode="r")
+            if not _np.allclose(old_gt, store._elevation_gt,
+                                rtol=0, atol=1e-12):
+                raise ValueError(
+                    "append elevation geotransform mismatch: appended "
+                    "tiles reference a differently-placed DEM than the "
+                    "store's existing elevation raster")
+            if old_el.shape != store._elevation.shape or not _np.allclose(
+                    old_el, store._elevation, equal_nan=True):
+                raise ValueError(
+                    "append elevation raster mismatch: the appended "
+                    "store carries a different DEM than the base store")
 
     seg_name = f"seg{len(manifest['segments'])}"
     offset = manifest["next_image_id"] - 1

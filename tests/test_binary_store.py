@@ -145,6 +145,41 @@ def test_binary_append_segment(rng, tmp_path):
     np.testing.assert_array_equal(d_ref, d_bin)
 
 
+def test_binary_append_adopts_and_validates_elevation(rng, tmp_path):
+    """append_binary_store persists an appended store's elevation when the
+    base has none (has_elevation flips, raster lands on disk) and rejects
+    a conflicting DEM — losing it silently would disable/skew every PnP
+    world coordinate (elevationdb.rs:191-232 semantics)."""
+    from cubesat_apds_tpu.store.binary_store import append_binary_store
+
+    dem = rng.uniform(0, 100, (8, 8)).astype(np.float32)
+    dem_gt = [10.0, 0.01, 0, 56.0, 0, -0.01]
+
+    s1 = _build_store(rng, n_imgs=1)
+    write_binary_store(s1, str(tmp_path / "bin"))
+    assert BinaryFeatureStore(str(tmp_path / "bin"))._elevation is None
+
+    # Append WITH elevation onto an elevation-less base: adopted.
+    s2 = _build_store(rng, n_imgs=1)
+    s2.set_elevation(dem, dem_gt)
+    append_binary_store(str(tmp_path / "bin"), s2)
+    b = BinaryFeatureStore(str(tmp_path / "bin"))
+    assert b.manifest["has_elevation"]
+    np.testing.assert_array_equal(np.asarray(b._elevation), dem)
+
+    # Matching DEM re-appends fine; a different raster or placement raises.
+    s3 = _build_store(rng, n_imgs=1)
+    s3.set_elevation(dem, dem_gt)
+    append_binary_store(str(tmp_path / "bin"), s3)
+    s4 = _build_store(rng, n_imgs=1)
+    s4.set_elevation(dem + 1.0, dem_gt)
+    with pytest.raises(ValueError, match="elevation raster mismatch"):
+        append_binary_store(str(tmp_path / "bin"), s4)
+    s4.set_elevation(dem, [11.0, 0.01, 0, 57.0, 0, -0.01])
+    with pytest.raises(ValueError, match="elevation geotransform mismatch"):
+        append_binary_store(str(tmp_path / "bin"), s4)
+
+
 def test_binary_cascaded_delete(rng, tmp_path):
     """delete_image cascades to the image's keypoints in every query
     path and survives a reopen (imagedb.rs:66-72 + FK cascade)."""

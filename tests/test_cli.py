@@ -369,3 +369,38 @@ def test_cli_match(scene, capsys, tmp_path):
     assert rc == 0
     out2 = json.loads(capsys.readouterr().out)
     assert out2["mode"] == "crosscheck" and out2["matches"] > 0
+
+
+def test_cli_descriptor_mode_adoption(scene, capsys):
+    """A store built with --descriptor-mode fast is usable from the CLI
+    with NO flag (localize adopts the store's recorded provenance) and
+    an explicit conflicting override is refused by check_descriptor_mode
+    — before this flag existed, fast/hybrid stores were unusable at the
+    CLI surface entirely."""
+    tmp_path, tiles, img = scene
+    store_dir = str(tmp_path / "fstore")
+    rc = main(["preprocess", "--dataset", str(tiles), "--store", store_dir,
+               "--lod", "1", "--binary", "--descriptor-mode", "fast"])
+    assert rc == 0
+    with open(os.path.join(store_dir, "manifest.json")) as f:
+        assert json.load(f)["descriptor_mode"] == "fast"
+
+    from PIL import Image
+
+    frame_path = str(tmp_path / "frame.png")
+    Image.fromarray((img * 255).astype(np.uint8)).save(frame_path)
+    # No flag: adopt 'fast' from the store.
+    rc = main(["localize", "--store", store_dir, "--frame", frame_path])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    out = json.loads(captured[captured.index("{"):])
+    assert out["keypoints"] > 0
+    # Explicit matching override also works.
+    rc = main(["localize", "--store", store_dir, "--frame", frame_path,
+               "--descriptor-mode", "fast"])
+    assert rc == 0
+    capsys.readouterr()
+    # A conflicting override must be refused, not silently mismatched.
+    with pytest.raises(ValueError, match="descriptor_mode"):
+        main(["localize", "--store", store_dir, "--frame", frame_path,
+              "--descriptor-mode", "exact"])
