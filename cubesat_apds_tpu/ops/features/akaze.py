@@ -315,13 +315,18 @@ def _tiled_merge(xy, size, angle, response, octave, class_id, desc, valid,
 
     Seam dedup, vectorized: two tiles can localize the SAME extremum to
     sub-pixel positions straddling an ownership boundary, possibly on
-    ADJACENT evolution levels. Each 1×1-px grid cell records its
-    strongest candidate (scatter-min of the response rank); a candidate
-    dies when any of its 3×3 neighbor cells' winners is stronger, within
-    0.5 px, and ≤1 level apart — the same adjacency window the in-tile
-    3-D NMS suppresses. (In-tile NMS already guarantees ≥1 px same-level
-    and co-located cross-level separation, so away from seams this is
-    inert.)
+    ADJACENT evolution levels. Each 1×1-px grid cell exposes its
+    strongest candidates; a candidate dies when any of its 3×3 neighbor
+    cells' winners is stronger, within 0.5 px, and ≤1 level apart — the
+    same adjacency window the in-tile 3-D NMS suppresses. (In-tile NMS
+    already guarantees ≥1 px same-level and co-located cross-level
+    separation, so away from seams this is inert.)
+
+    The cell tables live in CANDIDATE space — occupied cells are
+    compacted with jnp.unique and neighbor cells are found by binary
+    search — so cost and memory scale O(n log n) with the candidate
+    count, not O(img_h·img_w) with image area (a dense rank grid at
+    16k² would be 2 GB of scratch per round).
     """
     n = xy.shape[0]
     resp = jnp.where(valid, response, -jnp.inf)
@@ -332,6 +337,11 @@ def _tiled_merge(xy, size, angle, response, octave, class_id, desc, valid,
     ix = jnp.clip(xy[:, 0].astype(jnp.int32), 0, img_w - 1)
     iy = jnp.clip(xy[:, 1].astype(jnp.int32), 0, img_h - 1)
     lin = iy * img_w + ix
+    # Compact occupied cells once (alive-ness never changes WHICH cell a
+    # candidate occupies). `cells` is sorted ascending; the pad value
+    # img_h*img_w exceeds every real lin so sortedness survives padding.
+    cells, cell_of = jnp.unique(lin, size=n, fill_value=img_h * img_w,
+                                return_inverse=True)
 
     # Each cell exposes its TWO strongest alive candidates: one winner is
     # not enough — a cell whose strongest point sits ≥2 levels away would
@@ -346,18 +356,24 @@ def _tiled_merge(xy, size, angle, response, octave, class_id, desc, valid,
     kill = jnp.zeros(n, bool)
     for _round in range(3):
         alive_rank = jnp.where(valid & ~kill, rank_of, int_max)
-        grid = jnp.full((img_h * img_w,), int_max, jnp.int32
-                        ).at[lin].min(alive_rank)
-        is_winner = grid[lin] == alive_rank
-        grid2 = jnp.full((img_h * img_w,), int_max, jnp.int32).at[lin].min(
-            jnp.where(is_winner, int_max, alive_rank))
+        # segment_min's identity for int32 is int_max → empty cells hold
+        # int_max, exactly the dense grids' initial fill.
+        win1 = jax.ops.segment_min(alive_rank, cell_of, num_segments=n)
+        is_winner = win1[cell_of] == alive_rank
+        win2 = jax.ops.segment_min(
+            jnp.where(is_winner, int_max, alive_rank), cell_of,
+            num_segments=n)
         new_kill = jnp.zeros(n, bool)
-        for g in (grid, grid2):
+        for table in (win1, win2):
             for dy in (-1, 0, 1):
                 for dx in (-1, 0, 1):
                     ny = jnp.clip(iy + dy, 0, img_h - 1)
                     nx = jnp.clip(ix + dx, 0, img_w - 1)
-                    wrank = g[ny * img_w + nx]
+                    nlin = ny * img_w + nx
+                    j = jnp.searchsorted(cells, nlin).astype(jnp.int32)
+                    jc = jnp.clip(j, 0, n - 1)
+                    occupied = cells[jc] == nlin
+                    wrank = jnp.where(occupied, table[jc], int_max)
                     has = wrank < int_max
                     widx = order[jnp.clip(wrank, 0, n - 1)]
                     d2 = ((xy[widx, 0] - xy[:, 0]) ** 2

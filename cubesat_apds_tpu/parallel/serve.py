@@ -73,6 +73,7 @@ def make_batch_localizer(mesh, camera: CameraModel,
     Returns step(frames, db) -> (homography_result, pose_or_None,
     num_matches [B], num_keypoints [B]); frames [B, H, W] with B
     divisible by the dp axis; db from shard_device_db(mesh, ...).
+    `pose` is a batched PoseSolution pytree (leaves lead with B).
     """
 
     @jax.jit
@@ -113,9 +114,8 @@ def make_batch_localizer(mesh, camera: CameraModel,
         want_pose = db.has_world if solve_pose is None else solve_pose
         if want_pose:
             def pose_one(kxy, m):
-                sol = solve_pose_recentered(
+                return solve_pose_recentered(
                     db.obj_points, kxy[m.query_idx], m, camera, config.pnp)
-                return sol.rvec, sol.tvec, sol.num_inliers, sol.ok
 
             pose = jax.vmap(pose_one)(kp.xy, matches)
 

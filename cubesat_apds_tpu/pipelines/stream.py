@@ -73,49 +73,24 @@ def _localize_packed(frame, db, camera, config, solve_pose):
 def _make_packed_batch_step(mesh, camera, config, solve_pose):
     """Mesh-parallel batched packed step: frames [B, H, W] sharded over
     "dp", DB sharded over "tp" (via parallel.serve.shard_device_db) →
-    [B, 21] packed outputs. The streaming composition of
-    parallel.serve's GSPMD serving step (VERDICT r2 weak #3)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    [B, 21] packed outputs. A thin wrapper (uint8→f32 + _pack_outputs)
+    around parallel.serve.make_batch_localizer — the serve step is the
+    SINGLE definition of the mesh pipeline (VERDICT r2 weak #3)."""
+    from cubesat_apds_tpu.parallel.serve import make_batch_localizer
 
-    from cubesat_apds_tpu.ops.match import knn_match_bits, unpack_bits
+    serve_step = make_batch_localizer(mesh, camera, config,
+                                      solve_pose=solve_pose)
 
     @jax.jit
     def step(frames, db):
-        frames = jax.lax.with_sharding_constraint(
-            frames, NamedSharding(mesh, P("dp")))
         if frames.dtype == jnp.uint8:
             frames = frames.astype(jnp.float32) / 255.0
-
-        from cubesat_apds_tpu.ops.features.akaze import detect_and_compute
-        from cubesat_apds_tpu.ops.geometry.homography import (
-            find_homography_ransac)
-        from cubesat_apds_tpu.ops.match import matched_points
-        from cubesat_apds_tpu.pipelines.localize import solve_pose_recentered
-
-        feats = jax.vmap(
-            functools.partial(detect_and_compute, config=config.akaze))(frames)
-        kp = feats.keypoints
-        db_bits = unpack_bits(db.descriptors)
-        db_bits = jax.lax.with_sharding_constraint(
-            db_bits, NamedSharding(mesh, P("tp")))
-        m_per_chip = max(db_bits.shape[0] // mesh.shape["tp"], 1)
-        q_block = max((config.match.db_block * 2048) // m_per_chip, 128)
-
-        def one(desc, q_valid, kxy):
-            m = knn_match_bits(unpack_bits(desc), db_bits,
-                               ratio=config.match.ratio, q_valid=q_valid,
-                               db_valid=db.valid, q_block=q_block)
-            q_pts, t_pts = matched_points(kxy, db.xy, m)
-            h = find_homography_ransac(q_pts, t_pts, valid=m.valid,
-                                       config=config.ransac)
-            pose = None
-            if solve_pose:
-                pose = solve_pose_recentered(db.obj_points, q_pts, m,
-                                             camera, config.pnp)
-            return _pack_outputs(h, m.count(),
-                                 jnp.sum(q_valid.astype(jnp.int32)), pose)
-
-        return jax.vmap(one)(feats.descriptors, kp.valid, kp.xy)
+        homog, pose, n_match, n_kp = serve_step(frames, db)
+        if pose is None:
+            return jax.vmap(
+                lambda h, nm, nk: _pack_outputs(h, nm, nk, None)
+            )(homog, n_match, n_kp)
+        return jax.vmap(_pack_outputs)(homog, n_match, n_kp, pose)
 
     return step
 
