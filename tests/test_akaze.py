@@ -359,6 +359,64 @@ def test_tiled_merge_seam_dedup_is_greedy():
     assert sorted(kept_desc.tolist()) == [0, 2]
 
 
+def test_tiled_merge_matches_numpy_greedy(rng):
+    """The Jacobi top-2 candidate-space formulation must reproduce
+    brute-force greedy rank-order suppression on seam-shaped scenes —
+    isolated points, sub-0.5-px pairs/triples across adjacent levels,
+    and 4-chains at 0.4-px spacing (the densest topologies tile seams
+    can produce; in-tile 3-D NMS bounds anything denser)."""
+    from cubesat_apds_tpu.core.config import DESC_BYTES
+    from cubesat_apds_tpu.ops.features.akaze import _tiled_merge
+
+    H = W = 256
+    pts, cls = [], []
+    for _ in range(40):                       # isolated
+        pts.append(rng.uniform(2, W - 2, 2))
+        cls.append(int(rng.integers(0, 12)))
+    for _ in range(25):                       # 0.3-px clusters, ±1 level
+        c = rng.uniform(2, W - 2, 2)
+        lv = int(rng.integers(1, 11))
+        for _j in range(int(rng.integers(2, 4))):
+            pts.append(c + rng.uniform(-0.15, 0.15, 2))
+            cls.append(lv + int(rng.integers(-1, 2)))
+    for _ in range(10):                       # 4-chains at 0.4-px pitch
+        c = rng.uniform(4, W - 4, 2)
+        d = rng.uniform(-1, 1, 2)
+        d = 0.4 * d / np.linalg.norm(d)
+        lv = int(rng.integers(1, 11))
+        for j in range(4):
+            pts.append(c + j * d)
+            cls.append(lv)
+    n = len(pts)
+    xy = np.asarray(pts, np.float32)
+    cls_a = np.asarray(cls, np.int32)
+    resp = (rng.permutation(n) + 1.0).astype(np.float32)  # distinct
+    valid = rng.uniform(size=n) < 0.9
+
+    kept: list = []                           # brute-force greedy
+    for i in np.argsort(-resp, kind="stable"):
+        if not valid[i]:
+            continue
+        if not any(np.sum((xy[i] - xy[j]) ** 2) < 0.25
+                   and abs(int(cls_a[i]) - int(cls_a[j])) <= 1
+                   for j in kept):
+            kept.append(i)
+    expected = {(round(float(xy[j, 0]), 3), round(float(xy[j, 1]), 3))
+                for j in kept}
+
+    desc = np.tile((np.arange(n) % 256).astype(np.uint8)[:, None],
+                   (1, DESC_BYTES))
+    zeros = jnp.zeros(n, jnp.float32)
+    out = _tiled_merge(jnp.asarray(xy), zeros, zeros, jnp.asarray(resp),
+                       jnp.asarray(cls_a), jnp.asarray(cls_a),
+                       jnp.asarray(desc), jnp.asarray(valid),
+                       img_h=H, img_w=W, capacity=n)
+    kp = out.keypoints
+    got_xy = np.asarray(kp.xy[kp.valid])
+    got = {(round(float(p[0]), 3), round(float(p[1]), 3)) for p in got_xy}
+    assert got == expected
+
+
 def test_hybrid_descriptor_mode(rng):
     """Hybrid (2×2 blur-matched subcell) descriptors: detection
     unchanged, strictly closer to exact than fast mode, and the static
