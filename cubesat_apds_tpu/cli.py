@@ -438,6 +438,58 @@ def _cmd_bench(args):
     return subprocess.call([sys.executable, "bench.py"])
 
 
+def _cmd_store(args):
+    """Store administration: inspect or mutate an on-disk feature DB.
+
+    `info` summarizes either backend; `delete` is the reference's
+    cascaded image delete (imagedb.rs:66-72 — the tile record and every
+    keypoint it owns) at the user surface, working in place on a binary
+    store and re-saving an npz store."""
+    from cubesat_apds_tpu.store.binary_store import BinaryFeatureStore
+
+    store = _open_store(args.store)
+    is_binary = isinstance(store, BinaryFeatureStore)
+    images = store.images if is_binary else store._images
+
+    if args.action == "info":
+        lods = sorted({r.level_of_detail for r in images.values()})
+        info = {
+            "store": args.store,
+            "backend": "binary" if is_binary else "npz",
+            "tiles": len(images),
+            "lods": lods,
+            "descriptor_mode": store.descriptor_mode,
+        }
+        if is_binary:
+            info["segments"] = [dict(s) for s in store.segments]
+            info["keypoints_total"] = int(store.n)
+            info["keypoints_live"] = len(store)
+            info["has_elevation"] = bool(store.manifest["has_elevation"])
+        else:
+            info["keypoints_live"] = int(store._n)
+            info["has_elevation"] = store._elevation is not None
+        print(json.dumps(info, indent=2))
+        return 0
+
+    # delete
+    if not args.image_id:
+        raise SystemExit("store delete: give at least one --image-id")
+    missing = [i for i in args.image_id if i not in images]
+    if missing:
+        raise SystemExit(f"store delete: unknown image id(s) {missing}; "
+                         f"known ids: {sorted(images)}")
+    before = len(store) if is_binary else int(store._n)
+    for iid in args.image_id:
+        store.delete_image(iid)
+    if not is_binary:
+        store.save(args.store)
+    after = len(store) if is_binary else int(store._n)
+    print(json.dumps({"deleted_images": args.image_id,
+                      "keypoints_removed": before - after,
+                      "keypoints_live": after}))
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="apds-tpu",
@@ -534,6 +586,14 @@ def main(argv=None):
 
     pb = sub.add_parser("bench", help="run the headline benchmark")
     pb.set_defaults(fn=_cmd_bench)
+
+    pst = sub.add_parser("store", help="inspect / mutate a feature store")
+    pst.add_argument("action", choices=("info", "delete"))
+    pst.add_argument("store", help="store directory (npz or binary)")
+    pst.add_argument("--image-id", type=int, nargs="+", default=[],
+                     help="tile image id(s) to cascade-delete "
+                          "(store delete)")
+    pst.set_defaults(fn=_cmd_store)
 
     args = p.parse_args(argv)
     return args.fn(args)

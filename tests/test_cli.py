@@ -404,3 +404,52 @@ def test_cli_descriptor_mode_adoption(scene, capsys):
     with pytest.raises(ValueError, match="descriptor_mode"):
         main(["localize", "--store", store_dir, "--frame", frame_path,
               "--descriptor-mode", "exact"])
+
+
+def test_cli_store_info_delete(tmp_path, rng, capsys):
+    """`store info` summarizes both backends; `store delete` is the
+    cascaded image delete (imagedb.rs:66-72) at the CLI surface —
+    in-place on a binary store, re-saved for npz."""
+    from cubesat_apds_tpu.store.binary_store import write_binary_store
+    from cubesat_apds_tpu.store.feature_store import FeatureStore
+
+    s = FeatureStore()
+    for t in range(3):
+        iid = s.create_image(t * 100, 0, t * 100 + 100, 100, 0)
+        k = 50 + t * 10
+        s.add_keypoints(iid, rng.uniform(0, 100, k), rng.uniform(0, 100, k),
+                        np.full(k, 4.8, np.float32),
+                        np.zeros(k, np.float32),
+                        rng.uniform(0, 1, k).astype(np.float32),
+                        np.zeros(k, np.int32), np.zeros(k, np.int32),
+                        rng.integers(0, 256, (k, 61), dtype=np.uint8))
+    s.descriptor_mode = "exact"
+    npz_dir = str(tmp_path / "npz")
+    bin_dir = str(tmp_path / "bin")
+    s.save(npz_dir)
+    write_binary_store(s, bin_dir)
+
+    for path, backend in ((npz_dir, "npz"), (bin_dir, "binary")):
+        assert main(["store", "info", path]) == 0
+        out = capsys.readouterr().out
+        info = json.loads(out)
+        assert info["backend"] == backend
+        assert info["tiles"] == 3
+        assert info["keypoints_live"] == 180
+        assert info["descriptor_mode"] == "exact"
+        assert info["lods"] == [0]
+
+        assert main(["store", "delete", path, "--image-id", "2"]) == 0
+        res = json.loads(capsys.readouterr().out)
+        assert res["keypoints_removed"] == 60
+        assert res["keypoints_live"] == 120
+
+        assert main(["store", "info", path]) == 0
+        info = json.loads(capsys.readouterr().out)
+        assert info["tiles"] == 2 and info["keypoints_live"] == 120
+
+    # Error paths: unknown id, and delete without ids.
+    with pytest.raises(SystemExit, match="unknown image id"):
+        main(["store", "delete", bin_dir, "--image-id", "99"])
+    with pytest.raises(SystemExit, match="at least one"):
+        main(["store", "delete", bin_dir])
