@@ -42,6 +42,9 @@ def _akaze_from_tag(tag: str):
         except ValueError:
             raise SystemExit(f"--descriptor-mode {tag!r}: expected exact, "
                              "fast, hybrid or hybridN")
+        if sub < 2:
+            raise SystemExit(f"--descriptor-mode {tag!r}: hybridN needs "
+                             "N >= 2 (sub-way subcells per MLDB cell)")
         return AkazeConfig(descriptor_mode="hybrid", hybrid_subcells=sub)
     if tag not in ("exact", "fast", "hybrid"):
         raise SystemExit(f"--descriptor-mode {tag!r}: expected exact, "
@@ -89,9 +92,34 @@ def _camera_from_args(camera_path, shape):
 
 
 def _cmd_preprocess(args):
+    import os
+
     from cubesat_apds_tpu.core.config import PipelineConfig
     from cubesat_apds_tpu.io.mosaic import MosaicDataset
     from cubesat_apds_tpu.pipelines.preprocess import preprocess
+
+    # Validate every --append precondition BEFORE the (potentially
+    # hours-long) extraction run, so a typo'd store path or a mode
+    # mismatch can't discard all the work at save time.
+    mode = args.descriptor_mode
+    if args.append:
+        if not args.binary:
+            raise SystemExit("--append requires --binary (segmented store)")
+        mpath = os.path.join(args.store, "manifest.json")
+        if not os.path.exists(mpath):
+            raise SystemExit(f"--append: no store at {args.store}")
+        with open(mpath) as f:
+            recorded = json.load(f).get("descriptor_mode")
+        if mode is None:
+            # Adopt the store's recorded provenance, like the serving
+            # commands (_store_config) — appended segments must match.
+            mode = recorded or "exact"
+        elif recorded is not None and mode != recorded:
+            raise SystemExit(
+                f"--append: store was built with descriptor_mode "
+                f"'{recorded}'; refusing to extract '{mode}' descriptors "
+                "(omit --descriptor-mode to adopt the store's)")
+    mode = mode or "exact"
 
     if args.mosaic:
         ds = MosaicDataset.from_materialized(args.mosaic)
@@ -134,7 +162,7 @@ def _cmd_preprocess(args):
                          devices=avail[:args.devices])
     t0 = time.perf_counter()
     store, stats = preprocess(
-        ds, config=PipelineConfig(akaze=_akaze_from_tag(args.descriptor_mode)),
+        ds, config=PipelineConfig(akaze=_akaze_from_tag(mode)),
         amount_lod=args.lod or None,
         tile_batch=args.tile_batch, elevation_path=args.elevation_path,
         progress=print, mesh=mesh)
@@ -142,16 +170,10 @@ def _cmd_preprocess(args):
         from cubesat_apds_tpu.store.binary_store import (
             append_binary_store, write_binary_store)
 
-        import os
-
         if args.append:
-            if not os.path.exists(os.path.join(args.store, "manifest.json")):
-                raise SystemExit(f"--append: no store at {args.store}")
             append_binary_store(args.store, store)
         else:
             write_binary_store(store, args.store)
-    elif args.append:
-        raise SystemExit("--append requires --binary (segmented store)")
     else:
         store.save(args.store)
     verb = "appended to" if args.append else "saved ->"
@@ -305,7 +327,14 @@ def _cmd_stream(args):
 
     store = _open_store(args.store)
 
+    with Image.open(paths[0]) as im:
+        first = np.asarray(im.convert("L"), np.uint8)
+    camera = _camera_from_args(args.camera, first.shape)
+    first_cell = [first]               # reuse the probe decode for frame 0
+
     def decode(path):
+        if first_cell and path == paths[0]:
+            return first_cell.pop()
         with Image.open(path) as im:
             a = np.asarray(im.convert("L"), np.uint8)
         if a.shape != first.shape:
@@ -313,10 +342,6 @@ def _cmd_stream(args):
                 f"stream: {path} is {a.shape}, expected {first.shape} — "
                 "streamed frames must share one shape (one compiled step)")
         return a
-
-    with Image.open(paths[0]) as im:
-        first = np.asarray(im.convert("L"), np.uint8)
-    camera = _camera_from_args(args.camera, first.shape)
 
     config = _store_config(store, args.descriptor_mode)
     check_descriptor_mode(store, config)
@@ -516,10 +541,12 @@ def main(argv=None):
                     help="append these tiles as a new segment of an "
                          "existing --binary store (incremental DB growth)")
     pp.add_argument("-e", "--elevation-path")
-    pp.add_argument("--descriptor-mode", default="exact",
+    pp.add_argument("--descriptor-mode", default=None,
                     help="AKAZE descriptor sampling used to BUILD the "
                          "store: exact (default), fast, hybrid or hybridN"
-                         " — recorded as provenance in the store")
+                         " — recorded as provenance in the store; with "
+                         "--append it defaults to the store's recorded "
+                         "mode and must match it")
     pp.set_defaults(fn=_cmd_preprocess)
 
     pl = sub.add_parser("localize", help="frame -> pose")

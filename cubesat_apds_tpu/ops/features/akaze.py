@@ -328,6 +328,14 @@ def _tiled_merge(xy, size, angle, response, octave, class_id, desc, valid,
     count, not O(img_h·img_w) with image area (a dense rank grid at
     16k² would be 2 GB of scratch per round).
     """
+    if img_h * img_w > 2**31 - 1:
+        # Cell ids are iy*img_w+ix in int32 (x64 is disabled on TPU and
+        # overflow converts SILENTLY) and the unique-pad sentinel is
+        # img_h*img_w — both need the full pixel count to fit int32.
+        raise ValueError(
+            f"detect_and_compute_tiled: {img_w}x{img_h} exceeds the "
+            "int32 seam-dedup cell grid (~46,340 px per side); split "
+            "the mosaic into sub-images first")
     n = xy.shape[0]
     resp = jnp.where(valid, response, -jnp.inf)
     order = jnp.argsort(-resp, stable=True)                 # rank → cand

@@ -5,7 +5,11 @@ columnar .npy files opened with np.memmap (zero-copy) + the C++ scan
 kernels in store/native (response-ranked windowed selection with the
 reference's ORDER BY response DESC LIMIT 2^18−1 semantics,
 keypointdb.rs:12,67-90). Reads never load the full store into RAM — the
-role Postgres plays in the reference, without a server.
+role Postgres plays in the reference, without a server. The only
+materialized row data are the four columns every query SCANS linearly
+(x, y, lod, image_id) plus the order index (~20 B/row); the remaining
+five columns and the 61 B/row descriptors stay per-segment mmaps,
+touched page-wise by result gathers only.
 
 Mutations mirror the reference DB's insert + cascaded delete
 (imagedb.rs:14-29,66-72; keypointdb.rs:15-26) without rewriting the
@@ -69,12 +73,10 @@ def _merged_order(path: str, segments: List[dict]) -> np.ndarray:
     and O(total·4 B) transient memory, never the descriptors.
     """
     parts = []
-    off = 0
     for seg in segments:
         r = np.load(os.path.join(path, seg["name"], "response.npy"),
                     mmap_mode="r")
         parts.append(np.asarray(r, np.float32))
-        off += seg["n"]
     if not parts:
         return np.zeros(0, np.int32)
     resp = np.concatenate(parts)
@@ -233,20 +235,17 @@ class BinaryFeatureStore:
         # Provenance (see FeatureStore.descriptor_mode); None = unknown.
         self.descriptor_mode = self.manifest.get("descriptor_mode")
 
-        def cat(name, dtype=None):
-            parts = [np.load(os.path.join(d, name), mmap_mode="r")
-                     for d in seg_dirs]
-            if len(parts) == 1:
-                return parts[0]
-            return np.concatenate([np.asarray(p) for p in parts])
+        def segs(name):
+            return [np.load(os.path.join(d, name), mmap_mode="r")
+                    for d in seg_dirs]
 
-        self.cols: Dict[str, np.ndarray] = {c: cat(f"{c}.npy")
-                                            for c in _COLS}
-        # Descriptors stay PER-SEGMENT mmaps — never concatenated into
-        # RAM; _select routes global indices to segment-local gathers.
-        self._desc_segs = [np.load(os.path.join(d, "desc.npy"),
-                                   mmap_mode="r") for d in seg_dirs]
-        self.lod = cat("lod.npy")
+        # ALL row data stays per-segment mmaps — never concatenated into
+        # RAM; _select routes global indices to segment-local gathers
+        # (page-wise reads). Only the scan columns below are pinned.
+        self._col_segs: Dict[str, List[np.ndarray]] = {
+            c: segs(f"{c}.npy") for c in _COLS}
+        self._col_segs["lod"] = segs("lod.npy")
+        self._desc_segs = segs("desc.npy")
         self.order = np.load(os.path.join(path, "order.npy"), mmap_mode="r")
         alive_p = os.path.join(path, "alive.npy")
         self.alive = (np.load(alive_p) if os.path.exists(alive_p)
@@ -263,15 +262,21 @@ class BinaryFeatureStore:
             np.load(os.path.join(path, "elevation_gt.npy"))
             if self.manifest["has_elevation"] else None)
         self._lib = get_lib()
-        # Native kernels need C-contiguous concrete arrays; memmaps
-        # satisfy the ndpointer checks but we pin the hot columns.
-        if self._lib is not None:
-            self._xc = np.ascontiguousarray(self.cols["x"], np.float32)
-            self._yc = np.ascontiguousarray(self.cols["y"], np.float32)
-            self._lodc = np.ascontiguousarray(self.lod, np.int32)
-            self._orderc = np.ascontiguousarray(self.order, np.int32)
-            self._imgc = np.ascontiguousarray(self.cols["image_id"],
-                                              np.int32)
+        # Every query WALKS these four columns + the order index linearly
+        # (the C kernels need C-contiguous concrete arrays; the numpy
+        # fallback does full-array masking) — pin them once, ~20 B/row.
+        self._xc = self._pin("x", np.float32)
+        self._yc = self._pin("y", np.float32)
+        self._lodc = self._pin("lod", np.int32)
+        self._imgc = self._pin("image_id", np.int32)
+        self._orderc = np.ascontiguousarray(self.order, np.int32)
+
+    def _pin(self, name: str, dtype) -> np.ndarray:
+        """One contiguous in-RAM copy of a scan column (all segments)."""
+        parts = self._col_segs[name]
+        if len(parts) == 1:
+            return np.ascontiguousarray(parts[0], dtype)
+        return np.concatenate([np.asarray(p, dtype) for p in parts])
 
     def __len__(self):
         """Live keypoint count (deleted rows excluded)."""
@@ -288,15 +293,14 @@ class BinaryFeatureStore:
         if image_id not in self.images:
             return
         del self.images[image_id]
-        dead = np.asarray(self.cols["image_id"]) == image_id
+        dead = self._imgc == image_id
         self.alive = self.alive & ~dead
         order = np.asarray(self.order)
         order = np.ascontiguousarray(order[self.alive[order]], np.int32)
         np.save(os.path.join(self.path, "order.npy"), order)
         np.save(os.path.join(self.path, "alive.npy"), self.alive)
         self.order = order
-        if self._lib is not None:
-            self._orderc = order
+        self._orderc = order
         self.manifest["images"] = [
             {"id": r.id, "x_start": r.x_start, "y_start": r.y_start,
              "x_end": r.x_end, "y_end": r.y_end,
@@ -314,8 +318,8 @@ class BinaryFeatureStore:
                                     len(self._orderc), lod, limit, out)
             idx = out[:m]
         else:
-            order = np.asarray(self.order)
-            ranked = order[np.asarray(self.lod)[order] == lod]
+            order = self._orderc
+            ranked = order[self._lodc[order] == lod]
             idx = ranked[:limit]
         return self._select(idx)
 
@@ -331,11 +335,10 @@ class BinaryFeatureStore:
                 lod, limit, out)
             idx = out[:m]
         else:
-            x = np.asarray(self.cols["x"])
-            y = np.asarray(self.cols["y"])
-            mask = ((np.asarray(self.lod) == lod) & (x >= x_start)
+            x, y = self._xc, self._yc
+            mask = ((self._lodc == lod) & (x >= x_start)
                     & (x <= x_end) & (y >= y_start) & (y <= y_end))
-            order = np.asarray(self.order)
+            order = self._orderc
             ranked = order[mask[order]]
             idx = ranked[:limit]
         return self._select(idx)
@@ -349,9 +352,8 @@ class BinaryFeatureStore:
                                       image_id, limit, out)
             idx = out[:m]
         else:
-            order = np.asarray(self.order)
-            ranked = order[
-                np.asarray(self.cols["image_id"])[order] == image_id]
+            order = self._orderc
+            ranked = order[self._imgc[order] == image_id]
             idx = ranked[:limit]
         return self._select(idx)
 
@@ -374,9 +376,25 @@ class BinaryFeatureStore:
                 desc[sel] = np.asarray(seg)[idx[sel] - self._offsets[si]]
         return desc
 
+    def _gather_cols(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        """Gather metadata rows by GLOBAL index across segment mmaps
+        (page-wise; no column is ever concatenated into RAM)."""
+        if len(self.segments) == 1:
+            return {c: np.asarray(self._col_segs[c][0])[idx] for c in _COLS}
+        seg_of = np.searchsorted(self._offsets, idx, side="right") - 1
+        sels = [seg_of == si for si in range(len(self.segments))]
+        cols = {}
+        for c in _COLS:
+            parts = self._col_segs[c]
+            out = np.empty(len(idx), parts[0].dtype)
+            for si, (p, sel) in enumerate(zip(parts, sels)):
+                if sel.any():
+                    out[sel] = np.asarray(p)[idx[sel] - self._offsets[si]]
+            cols[c] = out
+        return cols
+
     def _select(self, idx: np.ndarray):
-        cols = {c: np.asarray(self.cols[c])[idx] for c in _COLS}
-        return cols, self._gather_desc(idx)
+        return self._gather_cols(idx), self._gather_desc(idx)
 
     # ---- geo (parity with FeatureStore) ---------------------------------
 

@@ -161,6 +161,26 @@ def test_cli_preprocess_append_segment(scene, capsys, rng):
         main(["preprocess", "--dataset", str(d2),
               "--store", str(tmp_path / "nope"), "--lod", "1",
               "--binary", "--append"])
+    # Pre-flight: an append whose explicit mode conflicts with the
+    # store's recorded provenance refuses BEFORE extracting anything
+    # (previously every precondition was checked only at save time,
+    # after the full run).
+    with pytest.raises(SystemExit, match="descriptor_mode"):
+        main(["preprocess", "--dataset", str(d2), "--store", store_dir,
+              "--lod", "1", "--binary", "--append",
+              "--descriptor-mode", "fast"])
+
+
+def test_cli_descriptor_tag_grammar():
+    """Malformed --descriptor-mode tags exit with a usage message, not a
+    raw traceback — including hybridN with N < 2, which used to escape
+    as AkazeConfig's ValueError."""
+    from cubesat_apds_tpu.cli import _akaze_from_tag
+
+    for bad in ("hybridx", "fastt", "hybrid1", "hybrid0"):
+        with pytest.raises(SystemExit):
+            _akaze_from_tag(bad)
+    assert _akaze_from_tag("hybrid3").hybrid_subcells == 3
 
 
 def test_cli_stream(scene, capsys):
@@ -404,6 +424,15 @@ def test_cli_descriptor_mode_adoption(scene, capsys):
     with pytest.raises(ValueError, match="descriptor_mode"):
         main(["localize", "--store", store_dir, "--frame", frame_path,
               "--descriptor-mode", "exact"])
+    # --append with no flag ADOPTS the store's recorded 'fast' mode
+    # (pre-flight), instead of defaulting to exact and failing at save.
+    rc = main(["preprocess", "--dataset", str(tiles), "--store", store_dir,
+               "--lod", "1", "--binary", "--append"])
+    assert rc == 0
+    capsys.readouterr()
+    with open(os.path.join(store_dir, "manifest.json")) as f:
+        m = json.load(f)
+    assert m["descriptor_mode"] == "fast" and len(m["segments"]) == 2
 
 
 def test_cli_store_info_delete(tmp_path, rng, capsys):
