@@ -98,6 +98,8 @@ def _cmd_preprocess(args):
     from cubesat_apds_tpu.io.mosaic import MosaicDataset
     from cubesat_apds_tpu.pipelines.preprocess import preprocess
 
+    if args.resume and not args.checkpoint_dir:
+        raise SystemExit("--resume requires --checkpoint-dir")
     # Validate every --append precondition BEFORE the (potentially
     # hours-long) extraction run, so a typo'd store path or a mode
     # mismatch can't discard all the work at save time.
@@ -165,7 +167,9 @@ def _cmd_preprocess(args):
         ds, config=PipelineConfig(akaze=_akaze_from_tag(mode)),
         amount_lod=args.lod or None,
         tile_batch=args.tile_batch, elevation_path=args.elevation_path,
-        progress=print, mesh=mesh)
+        progress=print, mesh=mesh,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every, resume=args.resume)
     if args.binary:
         from cubesat_apds_tpu.store.binary_store import (
             append_binary_store, write_binary_store)
@@ -541,6 +545,15 @@ def main(argv=None):
                     help="append these tiles as a new segment of an "
                          "existing --binary store (incremental DB growth)")
     pp.add_argument("-e", "--elevation-path")
+    pp.add_argument("--checkpoint-dir",
+                    help="persist the partial store here every "
+                         "--checkpoint-every tile batches; a crashed "
+                         "run continues with --resume (the reference "
+                         "has no partial-DB recovery at all)")
+    pp.add_argument("--checkpoint-every", type=int, default=16)
+    pp.add_argument("--resume", action="store_true",
+                    help="continue a crashed run from --checkpoint-dir "
+                         "(no-op if no checkpoint exists)")
     pp.add_argument("--descriptor-mode", default=None,
                     help="AKAZE descriptor sampling used to BUILD the "
                          "store: exact (default), fast, hybrid or hybridN"

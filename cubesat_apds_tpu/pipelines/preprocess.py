@@ -17,6 +17,8 @@ reference's dropped remainder, SURVEY.md §7).
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 from typing import Callable, Optional
 
 import jax.numpy as jnp
@@ -37,6 +39,79 @@ class PreprocessStats:
     keypoints: int = 0
 
 
+class _Checkpointer:
+    """Crash-safe partial-store persistence for `preprocess`.
+
+    Two alternating slot directories + an atomically-replaced
+    cursor.json. The cursor (which names its slot) is committed only
+    AFTER that slot finished writing, so the previous checkpoint stays
+    loadable throughout a save — a crash at any instant leaves either
+    the old or the new checkpoint intact, never a torn one.
+    """
+
+    def __init__(self, root: Optional[str], every: int):
+        self.root = root
+        self.every = max(int(every), 1)
+        self._slot = 0
+        self._done = 0
+
+    def _cursor_path(self) -> str:
+        return os.path.join(self.root, "cursor.json")
+
+    def read_cursor(self) -> Optional[dict]:
+        if self.root is None or not os.path.exists(self._cursor_path()):
+            return None
+        with open(self._cursor_path()) as f:
+            return json.load(f)
+
+    def load_store(self, cursor: dict) -> FeatureStore:
+        return FeatureStore.load(os.path.join(self.root, cursor["slot"]))
+
+    def validate(self, cursor: dict, params: dict) -> None:
+        got = {k: cursor.get(k) for k in params}
+        if got != params:
+            raise ValueError(
+                f"checkpoint was written by a different run: {got} vs "
+                f"this run's {params} — delete {self.root} to start over")
+        # Next save goes to the OTHER slot, preserving the one loaded.
+        self._slot = {"slot_a": 1, "slot_b": 0}[cursor["slot"]]
+
+    def maybe_save(self, store: FeatureStore, params: dict,
+                   lod: int, start: int) -> None:
+        """Checkpoint after the (lod, start) batch completed, every
+        `every` completed batches."""
+        if self.root is None:
+            return
+        self._done += 1
+        if self._done % self.every:
+            return
+        slot = f"slot_{'ab'[self._slot]}"
+        self._slot ^= 1
+        store.save(os.path.join(self.root, slot))
+        tmp = self._cursor_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(dict(params, lod=lod, start=start, slot=slot), f)
+        os.replace(tmp, self._cursor_path())
+
+    def cleanup(self) -> None:
+        """Remove the checkpoint after a successful full run."""
+        if self.root is None or not os.path.isdir(self.root):
+            return
+        import shutil
+
+        for name in ("slot_a", "slot_b"):
+            shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+        for f_ in ("cursor.json", "cursor.json.tmp"):
+            try:
+                os.remove(os.path.join(self.root, f_))
+            except OSError:
+                pass
+        try:
+            os.rmdir(self.root)
+        except OSError:
+            pass
+
+
 def preprocess(
     dataset: MosaicDataset,
     store: Optional[FeatureStore] = None,
@@ -46,6 +121,9 @@ def preprocess(
     elevation_path: Optional[str] = None,
     progress: Optional[Callable[[str], None]] = None,
     mesh=None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 16,
+    resume: bool = False,
 ) -> tuple[FeatureStore, PreprocessStats]:
     """Build a FeatureStore from a mosaic (main.rs:70-124 flow).
 
@@ -54,7 +132,30 @@ def preprocess(
     and the TPU-native replacement for the reference's rayon per-tile
     fan-out (preprocessor main.rs:227-245). Pure data parallelism: the
     sharded run is element-wise identical to the single-device run.
+
+    `checkpoint_dir` enables mid-run checkpoint/resume — the recovery
+    the reference lacks entirely (SURVEY.md §5: "no resume of a
+    partially built DB"; its only restart point is the materialized
+    mosaic). Every `checkpoint_every` tile batches the partial store is
+    saved to an alternating slot and a cursor (last completed batch +
+    run parameters) is committed atomically AFTER the save, so a crash
+    at any instant leaves a loadable checkpoint. `resume=True` picks up
+    from the cursor (a missing cursor just starts fresh); the run
+    parameters must match or it refuses. On success the checkpoint is
+    removed. Note: a store carrying an elevation raster re-saves it in
+    every checkpoint — raise `checkpoint_every` for huge DEMs.
     """
+    _ckpt = _Checkpointer(checkpoint_dir, checkpoint_every)
+    cursor = _ckpt.read_cursor() if resume else None
+    if cursor is not None:
+        if store is not None:
+            raise ValueError("resume=True loads the store from the "
+                             "checkpoint; don't pass `store` too")
+        store = _ckpt.load_store(cursor)
+    else:
+        # A fresh run discards any stale checkpoint — otherwise a later
+        # resume could pick up a cursor from a DIFFERENT previous run.
+        _ckpt.cleanup()
     store = store or FeatureStore()
     # Stamp descriptor provenance: sampling modes (and hybrid
     # subdivisions) don't mix, so the store records which TAG built it
@@ -86,6 +187,18 @@ def preprocess(
     if amount_lod is None:
         amount_lod = calculate_amount_of_levels(width * height)
     stats.lods = amount_lod
+
+    # The batch iteration order is deterministic in these parameters, so
+    # a cursor naming the last completed (lod, start) fully determines
+    # the remaining work — but only for the SAME parameters.
+    params = {"width": width, "height": height, "amount_lod": amount_lod,
+              "tile_batch": tile_batch, "descriptor_mode": tag}
+    if cursor is not None:
+        _ckpt.validate(cursor, params)
+        stats.tiles = len(store._images)
+        stats.keypoints = len(store)
+        log(f"resuming after LoD {cursor['lod']} batch {cursor['start']}: "
+            f"{stats.keypoints} keypoints, {stats.tiles} tiles so far")
 
     # Mosaic geotransform is dataset id 1; elevation handling mirrors
     # add_elevation (main.rs:128-140): store both geotransforms + raster.
@@ -125,6 +238,9 @@ def preprocess(
 
         tiles_meta = [(r, c) for r in range(rows) for c in range(columns)]
         for start in range(0, len(tiles_meta), tile_batch):
+            if cursor is not None and \
+                    (lod, start) <= (cursor["lod"], cursor["start"]):
+                continue               # completed before the crash
             batch_meta = tiles_meta[start:start + tile_batch]
             grays = []
             for r, c in batch_meta:
@@ -184,5 +300,7 @@ def preprocess(
                     desc[bi, vv])
                 stats.tiles += 1
                 stats.keypoints += n
+            _ckpt.maybe_save(store, params, lod, start)
         log(f"LoD {lod} done: {len(store)} keypoints total")
+    _ckpt.cleanup()
     return store, stats

@@ -260,3 +260,62 @@ def test_hybrid_mode_end_to_end(mosaic_dir):
     assert bool(res.homography.ok)
     H = np.asarray(res.homography.H)
     np.testing.assert_allclose(H, np.eye(3), atol=1.5)
+
+
+def test_preprocess_checkpoint_resume(mosaic_dir, tmp_path, monkeypatch):
+    """A crashed preprocess resumes from its checkpoint and produces a
+    store identical to an uninterrupted run — the partial-DB recovery
+    the reference lacks entirely (SURVEY.md §5: its only restart point
+    is the materialized mosaic). Also: a cursor written under different
+    run parameters is refused, and the checkpoint is removed on
+    success."""
+    import json
+    import os
+
+    import cubesat_apds_tpu.pipelines.preprocess as pp
+
+    path, img = mosaic_dir
+    ref_store, ref_stats = preprocess(
+        MosaicDataset.from_folder(str(path)), config=CFG,
+        amount_lod=2, tile_batch=1)
+
+    ck = str(tmp_path / "ckpt")
+    orig = pp.detect_and_compute_batch
+    calls = {"n": 0}
+
+    def flaky(batch, cfg):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("injected crash")
+        return orig(batch, cfg)
+
+    monkeypatch.setattr(pp, "detect_and_compute_batch", flaky)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        preprocess(MosaicDataset.from_folder(str(path)), config=CFG,
+                   amount_lod=2, tile_batch=1,
+                   checkpoint_dir=ck, checkpoint_every=1)
+    monkeypatch.setattr(pp, "detect_and_compute_batch", orig)
+
+    with open(os.path.join(ck, "cursor.json")) as f:
+        cursor = json.load(f)
+    assert (cursor["lod"], cursor["start"]) == (0, 1)  # 2 batches done
+
+    # Resuming under DIFFERENT parameters must refuse, not corrupt.
+    with pytest.raises(ValueError, match="different run"):
+        preprocess(MosaicDataset.from_folder(str(path)), config=CFG,
+                   amount_lod=1, tile_batch=1,
+                   checkpoint_dir=ck, resume=True)
+
+    store, stats = preprocess(
+        MosaicDataset.from_folder(str(path)), config=CFG,
+        amount_lod=2, tile_batch=1, checkpoint_dir=ck, resume=True)
+    assert not os.path.exists(ck)      # checkpoint removed on success
+    assert stats.keypoints == ref_stats.keypoints
+    assert stats.tiles == ref_stats.tiles
+    assert sorted(store._images) == sorted(ref_store._images)
+    for iid in ref_store._images:
+        a, da = ref_store.read_keypoints_from_image_id(iid)
+        b, db_ = store.read_keypoints_from_image_id(iid)
+        for c in a:
+            np.testing.assert_array_equal(a[c], b[c])
+        np.testing.assert_array_equal(da, db_)
