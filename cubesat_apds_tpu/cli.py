@@ -473,12 +473,30 @@ def _cmd_store(args):
     `info` summarizes either backend; `delete` is the reference's
     cascaded image delete (imagedb.rs:66-72 — the tile record and every
     keypoint it owns) at the user surface, working in place on a binary
-    store and re-saving an npz store."""
+    store and re-saving an npz store; `compact` rewrites a binary store
+    into one dense segment, reclaiming deleted rows' disk (the VACUUM
+    role Postgres plays for the reference)."""
     from cubesat_apds_tpu.store.binary_store import BinaryFeatureStore
 
     store = _open_store(args.store)
     is_binary = isinstance(store, BinaryFeatureStore)
     images = store.images if is_binary else store._images
+
+    if args.action == "compact":
+        if not is_binary:
+            # The npz store is rewritten whole on every save — deletes
+            # already reclaim space; nothing to do.
+            print(json.dumps({"store": args.store, "backend": "npz",
+                              "compacted": False,
+                              "note": "npz stores compact on save"}))
+            return 0
+        from cubesat_apds_tpu.store.binary_store import compact_binary_store
+
+        del store                      # close mmaps before the rewrite
+        kept, dropped = compact_binary_store(args.store)
+        print(json.dumps({"store": args.store, "kept": kept,
+                          "dropped": dropped, "compacted": True}))
+        return 0
 
     if args.action == "info":
         lods = sorted({r.level_of_detail for r in images.values()})
@@ -628,7 +646,7 @@ def main(argv=None):
     pb.set_defaults(fn=_cmd_bench)
 
     pst = sub.add_parser("store", help="inspect / mutate a feature store")
-    pst.add_argument("action", choices=("info", "delete"))
+    pst.add_argument("action", choices=("info", "delete", "compact"))
     pst.add_argument("store", help="store directory (npz or binary)")
     pst.add_argument("--image-id", type=int, nargs="+", default=[],
                      help="tile image id(s) to cascade-delete "

@@ -215,6 +215,61 @@ def append_binary_store(path: str, store: FeatureStore):
         json.dump(manifest, f)
 
 
+def compact_binary_store(path: str) -> tuple:
+    """Rewrite a segmented store into one dense segment, dropping the
+    rows tombstoned by delete_image — the VACUUM analogue. The reference
+    gets space reclamation from Postgres itself; here deletes only mark
+    the alive bitmap and filter the order index (imagedb.rs:66-72
+    cascade semantics), so descriptors of deleted tiles stay on disk
+    until compaction.
+
+    Offline admin operation (no concurrent readers): the compacted
+    store is built in `<path>.tmp` and swapped in via two renames. A
+    crash can leave `<path>` missing with the original intact at
+    `<path>.old` — rename it back by hand. Returns (kept, dropped).
+    """
+    import shutil
+
+    store = BinaryFeatureStore(path)
+    keep = np.flatnonzero(store.alive).astype(np.int32)
+    dropped = store.n - len(keep)
+    cols = store._gather_cols(keep)
+    desc = store._gather_desc(keep)
+    lod = store._gather_one("lod", keep)
+
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    seg = os.path.join(tmp, "seg0")
+    os.makedirs(seg)
+    for c in _COLS:
+        np.save(os.path.join(seg, f"{c}.npy"), cols[c])
+    np.save(os.path.join(seg, "desc.npy"), desc)
+    np.save(os.path.join(seg, "lod.npy"), lod)
+    np.save(os.path.join(tmp, "alive.npy"), np.ones(len(keep), bool))
+    # The existing order index is already alive-filtered (delete_image
+    # keeps it so); remapping old→new positions preserves its exact
+    # ranking, ties included, without re-sorting.
+    remap = np.full(store.n, -1, np.int32)
+    remap[keep] = np.arange(len(keep), dtype=np.int32)
+    np.save(os.path.join(tmp, "order.npy"),
+            np.ascontiguousarray(remap[np.asarray(store.order)]))
+    for f_ in ("elevation.npy", "elevation_gt.npy"):
+        if os.path.exists(os.path.join(path, f_)):
+            shutil.copy2(os.path.join(path, f_), os.path.join(tmp, f_))
+    manifest = dict(store.manifest, version=2,
+                    segments=[{"name": "seg0", "n": int(len(keep))}])
+    manifest.pop("n", None)            # v1 layout key, superseded
+    with open(os.path.join(tmp, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+
+    old = path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(keep), dropped
+
+
 class BinaryFeatureStore:
     """mmap-backed store with reference query + mutation semantics."""
 
@@ -376,22 +431,23 @@ class BinaryFeatureStore:
                 desc[sel] = np.asarray(seg)[idx[sel] - self._offsets[si]]
         return desc
 
+    def _gather_one(self, name: str, idx: np.ndarray) -> np.ndarray:
+        """Gather one column by GLOBAL index across segment mmaps."""
+        parts = self._col_segs[name]
+        if len(parts) == 1:
+            return np.asarray(parts[0])[idx]
+        seg_of = np.searchsorted(self._offsets, idx, side="right") - 1
+        out = np.empty(len(idx), parts[0].dtype)
+        for si, p in enumerate(parts):
+            sel = seg_of == si
+            if sel.any():
+                out[sel] = np.asarray(p)[idx[sel] - self._offsets[si]]
+        return out
+
     def _gather_cols(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
         """Gather metadata rows by GLOBAL index across segment mmaps
         (page-wise; no column is ever concatenated into RAM)."""
-        if len(self.segments) == 1:
-            return {c: np.asarray(self._col_segs[c][0])[idx] for c in _COLS}
-        seg_of = np.searchsorted(self._offsets, idx, side="right") - 1
-        sels = [seg_of == si for si in range(len(self.segments))]
-        cols = {}
-        for c in _COLS:
-            parts = self._col_segs[c]
-            out = np.empty(len(idx), parts[0].dtype)
-            for si, (p, sel) in enumerate(zip(parts, sels)):
-                if sel.any():
-                    out[sel] = np.asarray(p)[idx[sel] - self._offsets[si]]
-            cols[c] = out
-        return cols
+        return {c: self._gather_one(c, idx) for c in _COLS}
 
     def _select(self, idx: np.ndarray):
         return self._gather_cols(idx), self._gather_desc(idx)

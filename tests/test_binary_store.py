@@ -402,3 +402,55 @@ def test_binary_store_fuzz_vs_model(rng, tmp_path):
         else:
             b = BinaryFeatureStore(path)
         check()
+
+
+def test_compact_binary_store(rng, tmp_path):
+    """`compact` rewrites live rows into one dense segment (the VACUUM
+    analogue for delete_image's tombstones): query results are
+    preserved bit-exactly, deleted rows' disk is reclaimed, and the
+    compacted store accepts further appends with continued serial
+    ids."""
+    import os
+
+    from cubesat_apds_tpu.store.binary_store import (
+        append_binary_store, compact_binary_store)
+
+    p = str(tmp_path / "bin")
+    write_binary_store(_build_store(rng), p)          # images 1..3
+    append_binary_store(p, _build_store(rng, n_imgs=1))   # image 4
+
+    def desc_bytes():
+        total = 0
+        for root, _, files in os.walk(p):
+            total += sum(os.path.getsize(os.path.join(root, f))
+                         for f in files if f == "desc.npy")
+        return total
+
+    b = BinaryFeatureStore(p)
+    b.delete_image(2)                 # 200 tombstoned rows in seg0
+    live = len(b)
+    ref = {lod: b.read_keypoints_from_lod(lod) for lod in (0, 1)}
+    win_ref = b.read_keypoints_from_coordinates(100, 600, 100, 600, 0)
+    size_before = desc_bytes()
+    del b
+
+    kept, dropped = compact_binary_store(p)
+    assert (kept, dropped) == (live, 200)
+    assert not os.path.exists(p + ".tmp") and not os.path.exists(p + ".old")
+
+    c = BinaryFeatureStore(p)
+    assert len(c.segments) == 1 and c.n == live and c.alive.all()
+    assert 2 not in c.images and sorted(c.images) == [1, 3, 4]
+    assert desc_bytes() < size_before
+    for lod in (0, 1):
+        cols, desc = c.read_keypoints_from_lod(lod)
+        for k in cols:
+            np.testing.assert_array_equal(cols[k], ref[lod][0][k])
+        np.testing.assert_array_equal(desc, ref[lod][1])
+    wc, wd = c.read_keypoints_from_coordinates(100, 600, 100, 600, 0)
+    np.testing.assert_array_equal(wd, win_ref[1])
+
+    # Serial image ids continue across the compaction boundary.
+    append_binary_store(p, _build_store(rng, n_imgs=1))
+    c2 = BinaryFeatureStore(p)
+    assert len(c2.segments) == 2 and sorted(c2.images) == [1, 3, 4, 5]

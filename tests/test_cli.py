@@ -477,6 +477,20 @@ def test_cli_store_info_delete(tmp_path, rng, capsys):
         info = json.loads(capsys.readouterr().out)
         assert info["tiles"] == 2 and info["keypoints_live"] == 120
 
+        # compact: reclaims the binary store's tombstones; npz is a
+        # no-op (rewritten whole on save already).
+        assert main(["store", "compact", path]) == 0
+        res = json.loads(capsys.readouterr().out)
+        if backend == "binary":
+            assert res == {"store": path, "kept": 120, "dropped": 60,
+                           "compacted": True}
+            assert main(["store", "info", path]) == 0
+            info = json.loads(capsys.readouterr().out)
+            assert info["keypoints_total"] == 120  # dead rows gone
+            assert info["keypoints_live"] == 120
+        else:
+            assert res["compacted"] is False
+
     # Error paths: unknown id, and delete without ids.
     with pytest.raises(SystemExit, match="unknown image id"):
         main(["store", "delete", bin_dir, "--image-id", "99"])
