@@ -291,6 +291,18 @@ def _cmd_localize(args):
                 out["rvec"] = np.asarray(res.pose.rvec).tolist()
                 out["tvec"] = np.asarray(res.pose.tvec).tolist()
                 out["pose_inliers"] = int(res.pose.num_inliers)
+                if out["pose_ok"]:
+                    # The deliverable the project is named for: camera
+                    # position (world frame; ECEF when the store carries
+                    # elevation) + attitude quaternion / Euler angles.
+                    from cubesat_apds_tpu.core.attitude import (
+                        pose_to_attitude)
+
+                    att = pose_to_attitude(res.pose.rvec, res.pose.tvec)
+                    out["camera_position"] = att["position"].tolist()
+                    out["attitude_quat_wxyz"] = att["quat_wxyz"].tolist()
+                    out["attitude_euler_zyx_deg"] = (
+                        att["euler_zyx_deg"].tolist())
             if args.viz:
                 out["viz"] = _write_localize_viz(
                     args.viz, len(args.frame), len(results), frame, res)
@@ -390,6 +402,12 @@ def _cmd_stream(args):
             out["pose_ok"] = res.pose_ok
             out["rvec"] = res.rvec.tolist()
             out["tvec"] = res.tvec.tolist()
+            if res.pose_ok:
+                from cubesat_apds_tpu.core.attitude import pose_to_attitude
+
+                att = pose_to_attitude(res.rvec, res.tvec)
+                out["camera_position"] = att["position"].tolist()
+                out["attitude_quat_wxyz"] = att["quat_wxyz"].tolist()
         print(json.dumps(out), flush=True)
     wall = time.perf_counter() - t0
     lat = s.times.values("total_latency")

@@ -496,3 +496,43 @@ def test_cli_store_info_delete(tmp_path, rng, capsys):
         main(["store", "delete", bin_dir, "--image-id", "99"])
     with pytest.raises(SystemExit, match="at least one"):
         main(["store", "delete", bin_dir])
+
+
+def test_cli_localize_pose_and_attitude(scene, capsys):
+    """With elevation attached at preprocess time, localize solves PnP
+    and the JSON carries the attitude deliverables the project is named
+    for: camera_position (−Rᵀt, world frame), a unit quaternion and
+    ZYX Euler angles of the camera→world rotation — the reference stops
+    at raw rvec/tvec (PNPRANSACSolution, homographier mod.rs:46-51)."""
+    tmp_path, tiles, img = scene
+    elev = np.full((32, 32), 100, np.uint8)
+    edir = tmp_path / "elev"
+    edir.mkdir()
+    write_geotiff(str(edir / "e.tif"), elev,
+                  [10.0, 0.004, 0, 56.0, 0, -0.004])
+    store_dir = str(tmp_path / "pstore")
+    rc = main(["preprocess", "--dataset", str(tiles), "--store", store_dir,
+               "--lod", "1", "-e", str(edir / "e.tif")])
+    assert rc == 0
+    capsys.readouterr()
+
+    from PIL import Image
+
+    frame_path = str(tmp_path / "pframe.png")
+    Image.fromarray((img * 255).astype(np.uint8)).save(frame_path)
+    rc = main(["localize", "--store", store_dir, "--frame", frame_path])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    out = json.loads(captured[captured.index("{"):])
+    assert out["pose_ok"] is True
+    q = np.asarray(out["attitude_quat_wxyz"])
+    assert q.shape == (4,) and abs(np.linalg.norm(q) - 1.0) < 1e-6
+    assert len(out["camera_position"]) == 3
+    assert len(out["attitude_euler_zyx_deg"]) == 3
+    # The position must be the camera center −Rᵀt of the reported pose.
+    from cubesat_apds_tpu.core.attitude import pose_to_attitude
+
+    att = pose_to_attitude(np.asarray(out["rvec"], np.float32),
+                           np.asarray(out["tvec"], np.float32))
+    np.testing.assert_allclose(out["camera_position"], att["position"],
+                               rtol=1e-6)

@@ -59,3 +59,63 @@ def test_himmelbjerget_height_plausible():
     xyz = np.asarray(G.geodetic_to_ecef(9.68, 56.1, 147.0))
     r = np.linalg.norm(xyz)
     assert 6356752.0 < r < G.WGS84_A + 200.0
+
+
+# ---- attitude outputs (core/attitude.py) -----------------------------
+
+
+def test_quaternion_matrix_roundtrip(rng):
+    """rotation → quaternion → rotation is the identity for random
+    rotations, including near-180° ones where the naive trace formula's
+    pivot vanishes (Shepperd anchor selection)."""
+    from cubesat_apds_tpu.core.attitude import (
+        quaternion_to_matrix, rotation_to_quaternion)
+    from cubesat_apds_tpu.ops.geometry.rodrigues import rodrigues_to_matrix
+
+    axes = rng.normal(size=(64, 3))
+    axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+    angles = np.concatenate([rng.uniform(0, np.pi, 60),
+                             [np.pi - 1e-7, np.pi - 1e-4, 1e-8, 0.0]])
+    rvecs = (axes * angles[:, None]).astype(np.float32)
+    R = np.asarray(rodrigues_to_matrix(rvecs), np.float64)
+    q = rotation_to_quaternion(R)
+    np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0,
+                               atol=1e-12)
+    assert (q[:, 0] >= 0).all()            # sign-normalized
+    np.testing.assert_allclose(quaternion_to_matrix(q), R, atol=1e-6)
+
+
+def test_euler_zyx_known_values():
+    from cubesat_apds_tpu.core.attitude import (
+        matrix_to_euler_zyx, quaternion_to_matrix)
+
+    # Pure yaw 90°.
+    Rz = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float64)
+    np.testing.assert_allclose(matrix_to_euler_zyx(Rz),
+                               [np.pi / 2, 0, 0], atol=1e-12)
+    # Gimbal lock (pitch = +90°) folds roll into yaw, roll = 0.
+    Ry = np.array([[0, 0, 1], [0, 1, 0], [-1, 0, 0]], np.float64)
+    e = matrix_to_euler_zyx(Ry)
+    np.testing.assert_allclose(e, [0, np.pi / 2, 0], atol=1e-9)
+    # Quaternion identity.
+    np.testing.assert_allclose(
+        quaternion_to_matrix(np.array([1.0, 0, 0, 0])), np.eye(3),
+        atol=1e-15)
+
+
+def test_pose_to_attitude_camera_center(rng):
+    """−Rᵀt recovers the camera center used to build the pose, and the
+    attitude quaternion is the camera→world rotation."""
+    from cubesat_apds_tpu.core.attitude import (
+        pose_to_attitude, quaternion_to_matrix)
+    from cubesat_apds_tpu.ops.geometry.rodrigues import rodrigues_to_matrix
+
+    rvec = np.array([0.2, -0.4, 0.9], np.float32)
+    center = np.array([100.0, -50.0, 2000.0])
+    R = np.asarray(rodrigues_to_matrix(rvec), np.float64)
+    tvec = -R @ center                    # x_cam = R(X − C) = RX + t
+    att = pose_to_attitude(rvec, tvec)
+    np.testing.assert_allclose(att["position"], center, atol=1e-3)
+    np.testing.assert_allclose(quaternion_to_matrix(att["quat_wxyz"]),
+                               R.T, atol=1e-6)
+    assert att["euler_zyx_deg"].shape == (3,)
