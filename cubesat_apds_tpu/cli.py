@@ -22,6 +22,9 @@ def _open_store(path: str):
     """Open either store backend by its on-disk signature."""
     import os
 
+    if not os.path.exists(os.path.join(path, "manifest.json")):
+        raise SystemExit(f"no feature store at {path!r} (missing "
+                         "manifest.json — build one with `preprocess`)")
     if os.path.exists(os.path.join(path, "order.npy")):
         from cubesat_apds_tpu.store.binary_store import BinaryFeatureStore
 

@@ -171,6 +171,19 @@ def test_cli_preprocess_append_segment(scene, capsys, rng):
               "--descriptor-mode", "fast"])
 
 
+def test_cli_missing_store_usage_error(tmp_path):
+    """localize/stream/store against a nonexistent store path exit with
+    a usage message, not a raw FileNotFoundError traceback."""
+    nope = str(tmp_path / "nope")
+    dummy = str(tmp_path / "x.png")     # must exist: stream checks frame
+    open(dummy, "w").close()            # paths before the store
+    for argv in (["localize", "--store", nope, "--frame", dummy],
+                 ["stream", "--store", nope, "--frames", dummy],
+                 ["store", "info", nope]):
+        with pytest.raises(SystemExit, match="no feature store"):
+            main(argv)
+
+
 def test_cli_descriptor_tag_grammar():
     """Malformed --descriptor-mode tags exit with a usage message, not a
     raw traceback — including hybridN with N < 2, which used to escape
