@@ -317,6 +317,28 @@ def _cmd_localize(args):
     return 0
 
 
+_FRAME_EXTS = (".png", ".jpg", ".jpeg", ".tif", ".tiff")
+
+
+def _resolve_frames(specs, strict=False):
+    """Expand frame specs (files, globs, directories) to sorted paths."""
+    import glob
+    import os
+
+    paths = []
+    for spec in specs:
+        if os.path.isdir(spec):
+            paths += [os.path.join(spec, e) for e in sorted(os.listdir(spec))
+                      if e.lower().endswith(_FRAME_EXTS)]
+        elif any(c in spec for c in "*?["):
+            paths += sorted(glob.glob(spec))   # no hits -> contributes none
+        elif os.path.exists(spec):
+            paths.append(spec)
+        elif strict:
+            raise SystemExit(f"stream: no such frame: {spec}")
+    return paths
+
+
 def _cmd_stream(args):
     import os
 
@@ -327,22 +349,20 @@ def _cmd_stream(args):
                                                      load_device_db)
     from cubesat_apds_tpu.pipelines.stream import StreamingLocalizer
 
-    _EXTS = (".png", ".jpg", ".jpeg", ".tif", ".tiff")
-    paths = []
-    for spec in args.frames:
-        if os.path.isdir(spec):
-            paths += [os.path.join(spec, e) for e in sorted(os.listdir(spec))
-                      if e.lower().endswith(_EXTS)]
-        elif any(c in spec for c in "*?["):
-            import glob
-
-            paths += sorted(glob.glob(spec))   # no hits -> contributes none
-        elif os.path.exists(spec):
-            paths.append(spec)
-        else:
-            raise SystemExit(f"stream: no such frame: {spec}")
+    paths = _resolve_frames(args.frames, strict=True)
     if not paths:
-        raise SystemExit("stream: no frames found")
+        if not args.follow:
+            raise SystemExit("stream: no frames found")
+        # Service mode may start on an empty spool directory: wait for
+        # the first frame (it sets the compiled step's shape).
+        deadline = (time.monotonic() + args.idle_timeout
+                    if args.idle_timeout else None)
+        while not paths:
+            if deadline is not None and time.monotonic() > deadline:
+                raise SystemExit(
+                    "stream: no frames appeared within --idle-timeout")
+            time.sleep(args.poll_interval)
+            paths = _resolve_frames(args.frames)
 
     store = _open_store(args.store)
 
@@ -388,9 +408,50 @@ def _cmd_stream(args):
     s = StreamingLocalizer(db, camera, config=config,
                            solve_pose=db.has_world, batch=args.batch,
                            mesh=mesh)
+
+    def source():
+        """Yield frame paths; in --follow mode keep watching the dir/
+        glob specs for NEW files (write-then-rename producers are safest;
+        as a guard, a new file is only taken once its size is stable
+        across two polls). Ends at --max-frames, or after --idle-timeout
+        seconds without a new frame (never, if unset)."""
+        queue = list(paths)
+        seen = set(paths)
+        sizes = {}
+        yielded = 0
+        idle = None                    # start of the current idle period
+        while True:
+            while queue:
+                yield queue.pop(0)
+                yielded += 1
+                idle = None            # time blocked in the consumer
+                if args.max_frames and yielded >= args.max_frames:
+                    return             # (compiles!) never counts as idle
+            if not args.follow:
+                return
+            if idle is None:
+                idle = time.monotonic()
+            time.sleep(args.poll_interval)
+            for p in _resolve_frames(args.frames):
+                if p in seen:
+                    continue
+                try:
+                    sz = os.path.getsize(p)
+                except OSError:
+                    continue           # vanished between listing and stat
+                if sizes.get(p) == sz and sz > 0:
+                    seen.add(p)
+                    paths.append(p)    # res.frame_id indexes this list
+                    queue.append(p)
+                else:
+                    sizes[p] = sz
+            if not queue and args.idle_timeout and \
+                    time.monotonic() - idle > args.idle_timeout:
+                return
+
     t0 = time.perf_counter()
     n = 0
-    for res in s.run(iter(paths), preprocess=decode):
+    for res in s.run(source(), preprocess=decode):
         n += 1
         out = {
             "frame": paths[res.frame_id],
@@ -640,6 +701,17 @@ def main(argv=None):
                     help="override the descriptor mode (exact/fast/"
                          "hybrid/hybridN); default: adopt the store's "
                          "recorded mode")
+    ps.add_argument("--follow", action="store_true",
+                    help="service mode: after draining the initial "
+                         "frames, keep watching directory/glob specs "
+                         "for new files (may start on an empty dir)")
+    ps.add_argument("--poll-interval", type=float, default=0.5,
+                    help="seconds between --follow directory polls")
+    ps.add_argument("--idle-timeout", type=float, default=None,
+                    help="stop --follow after this many seconds without "
+                         "a new frame (default: run forever)")
+    ps.add_argument("--max-frames", type=int, default=None,
+                    help="stop after processing this many frames")
     ps.set_defaults(fn=_cmd_stream)
 
     pm = sub.add_parser(

@@ -473,3 +473,20 @@ def test_fast_orientation_mode(rng):
     frac = float((d < 0.2).mean())
     assert frac > 0.8, f"only {frac:.2f} of angles within 0.2 rad"
     assert float(np.median(d)) < 0.05, f"median {np.median(d):.3f} rad"
+
+
+def test_tiled_merge_refuses_int32_overflow():
+    """Seam-dedup cell ids are iy*img_w+ix in int32 (x64 is off on TPU,
+    overflow converts silently) — images whose pixel count exceeds
+    int32 must be refused loudly, not dedup'd wrong."""
+    import jax.numpy as jnp
+
+    from cubesat_apds_tpu.ops.features.akaze import _tiled_merge
+
+    xy = jnp.zeros((4, 2), jnp.float32)
+    zf = jnp.zeros(4, jnp.float32)
+    zi = jnp.zeros(4, jnp.int32)
+    desc = jnp.zeros((4, 61), jnp.uint8)
+    with pytest.raises(ValueError, match="int32 seam-dedup"):
+        _tiled_merge(xy, zf, zf, zf, zi, zi, desc,
+                     jnp.ones(4, bool), 50000, 50000, 4)

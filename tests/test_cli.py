@@ -549,3 +549,56 @@ def test_cli_localize_pose_and_attitude(scene, capsys):
                            np.asarray(out["tvec"], np.float32))
     np.testing.assert_allclose(out["camera_position"], att["position"],
                                rtol=1e-6)
+
+
+def test_cli_stream_follow(scene, capsys):
+    """--follow service mode: frames dropped into the watched directory
+    AFTER the stream starts are discovered (write-then-rename producer)
+    and processed; --max-frames terminates the service."""
+    import threading
+    import time as _time
+
+    tmp_path, tiles, img = scene
+    store_dir = str(tmp_path / "folstore")
+    rc = main(["preprocess", "--dataset", str(tiles), "--store", store_dir,
+               "--lod", "1"])
+    assert rc == 0
+    capsys.readouterr()
+
+    from PIL import Image
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+
+    def write_frame(i):
+        tmpf = spool / f"_tmp{i}"      # invisible: no image extension
+        Image.fromarray(
+            (np.roll(img, i, axis=1) * 255).astype(np.uint8)
+        ).save(str(tmpf), format="PNG")
+        os.replace(tmpf, spool / f"f{i}.png")   # atomic appearance
+
+    write_frame(0)
+    write_frame(1)
+
+    def producer():
+        _time.sleep(1.5)
+        write_frame(2)
+        _time.sleep(0.7)
+        write_frame(3)
+
+    t = threading.Thread(target=producer)
+    t.start()
+    try:
+        rc = main(["stream", "--store", store_dir, "--frames", str(spool),
+                   "--follow", "--poll-interval", "0.2",
+                   "--max-frames", "4", "--idle-timeout", "120"])
+    finally:
+        t.join()
+    assert rc == 0
+    lines = [json.loads(ln)
+             for ln in capsys.readouterr().out.strip().splitlines()]
+    recs = [ln for ln in lines if "summary" not in ln]
+    assert len(recs) == 4
+    assert {os.path.basename(r["frame"]) for r in recs} == {
+        "f0.png", "f1.png", "f2.png", "f3.png"}
+    assert lines[-1]["summary"]["frames"] == 4
