@@ -25,7 +25,10 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--db-size", type=int, default=10240)
     ap.add_argument("--capacity", type=int, default=2048)
-    ap.add_argument("--descriptor-mode", default="fast")
+    # Default matches the pipeline default (exact since round 3); the
+    # tunnel RTT dominates sustained fps either way, so the measured
+    # B-scaling (PERF.md "Streaming") carries across modes.
+    ap.add_argument("--descriptor-mode", default="exact")
     ap.add_argument("--batch", type=int, default=1,
                     help="frames per dispatch (micro-batched streaming; "
                          "amortizes the tunnel round trip)")

@@ -99,10 +99,11 @@ class AkazeConfig:
     # emits a response-sorted valid prefix, and slots past the count are
     # masked zeros either way. 1 disables (single full-capacity branch);
     # vmapped (batched) calls always use the full path — a switch under
-    # vmap runs all branches. Default OFF until the ladder is measured
-    # on the real TPU (an 8-branch switch also multiplies remote
-    # compile time) — see benchmarks/exp_r3g_adaptive.py.
-    adaptive_buckets: int = 1
+    # vmap runs all branches. Default 8 (measured A/B on the v5e,
+    # benchmarks/exp_r3g_adaptive.py: 103.4 → 122.3 fps e2e on the bench
+    # scene; the 256-slot rung floor keeps small-capacity compiles
+    # single-branch, so tests and tiny tiles pay no extra compiles).
+    adaptive_buckets: int = 8
 
     def __post_init__(self):
         # An unrecognized mode string would silently fall through the
