@@ -150,9 +150,16 @@ def detect_keypoints(ss: ScaleSpace, config: AkazeConfig = AkazeConfig(),
         lx_list.append(lx)
         ly_list.append(ly)
 
-    # --- NMS per level + cross-level suppression. ---
-    cand_vals, cand_pos, cand_keys = [], [], []
-    key_offset = 0
+    # --- NMS per level + cross-level suppression (all DENSE maps). ---
+    # Every acceptance rule — strict spatial peak, threshold, border,
+    # cross-level dominance, sub-pixel refine acceptance — is a per-pixel
+    # predicate, so it is applied to the dense response map BEFORE any
+    # candidate extraction. That leaves ONE global top-K over the
+    # concatenated maps instead of 16 per-level top-k calls + an exact
+    # merge (measured: the per-level extraction dominated the detect
+    # stage; a candidate in the global top-K is by construction in its
+    # level's top-K, so the selected set is unchanged).
+    masked_maps, sub_maps = [], []
     thr = jnp.float32(config.threshold)
     for i in range(n_levels):
         ldet = ldet_list[i]
@@ -180,27 +187,11 @@ def detect_keypoints(ss: ScaleSpace, config: AkazeConfig = AkazeConfig(),
         xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
         b = m.border
         inside = (xs >= b) & (xs < w - b) & (ys >= b) & (ys < h - b)
-        keep = is_peak & above & inside & ~dominated
-        vals = jnp.where(keep, ldet, -jnp.inf)
-
-        # Per-level candidate extraction. approx_max_k is the TPU-native
-        # partial-reduce top-k (~4× cheaper than exact sort-based top_k);
-        # post-NMS maps are sparse, so recall loss only affects ties among
-        # the weakest candidates. The FINAL cross-level top-K below stays
-        # exact, preserving the response-sorted prefix invariant.
-        k = min(capacity, h * w)
-        if h * w > 4 * k and config.detect_topk == "approx":
-            v, flat_idx = jax.lax.approx_max_k(
-                vals.reshape(-1), k, recall_target=0.95)
-        else:
-            v, flat_idx = jax.lax.top_k(vals.reshape(-1), k)
-        py = flat_idx // w
-        px = flat_idx % w
 
         # Sub-pixel refinement: quadratic fit computed DENSELY as shifted
-        # whole-map expressions (fused VPU work), then one packed 4-wide
-        # row gather at the candidates — point-gathering the 3×3 windows
-        # is ~10× slower on TPU.
+        # whole-map expressions (fused VPU work); the per-candidate read
+        # is one packed 4-wide row gather after the global top-K —
+        # point-gathering 3×3 windows is ~10× slower on TPU.
         def sh(dy, dx):
             return _shift2d(ldet, dy, dx)
 
@@ -213,60 +204,62 @@ def detect_keypoints(ss: ScaleSpace, config: AkazeConfig = AkazeConfig(),
         det_safe = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
         offx_map = -(dyy * dx1 - dxy * dy1) / det_safe
         offy_map = -(dxx * dy1 - dxy * dx1) / det_safe
-        packed = jnp.stack(
-            [offx_map, offy_map, jnp.zeros_like(offx_map),
-             jnp.zeros_like(offx_map)], axis=-1).reshape(-1, 4)
-        off = flat_take(packed, flat_idx)                  # [k, 4]
-        offx = off[:, 0]
-        offy = off[:, 1]
-        refine_ok = (jnp.abs(offx) <= 1.0) & (jnp.abs(offy) <= 1.0)
+        refine_ok = (jnp.abs(offx_map) <= 1.0) & (jnp.abs(offy_map) <= 1.0)
 
-        ratio = float(m.ratio)
-        xf = (px.astype(jnp.float32) + offx) * ratio
-        yf = (py.astype(jnp.float32) + offy) * ratio
-        valid = jnp.isfinite(v) & (v > 0) & refine_ok
+        keep = (is_peak & above & inside & ~dominated & refine_ok
+                & (ldet > 0))
+        masked_maps.append(jnp.where(keep, ldet, -jnp.inf).reshape(-1))
+        # Channel 2 carries the level index so the winner gather needs
+        # no searchsorted over level boundaries (≤16 is exact in f32).
+        sub_maps.append(jnp.stack(
+            [offx_map, offy_map, jnp.full_like(offx_map, float(i)),
+             jnp.zeros_like(offx_map)], axis=-1).reshape(-1, 4))
 
-        cand_vals.append(jnp.where(valid, v, -jnp.inf))
-        cand_pos.append((xf, yf, i))
-        # Canonical identity of each candidate: its MAP position (level
-        # offset + flat pixel index) — NOT its rank in this level's
-        # top-k output, which is tie-order dependent and differs
-        # between the vmapped and single-frame lowerings.
-        cand_keys.append(flat_idx + jnp.int32(key_offset))
-        key_offset += h * w
+    # --- ONE global top-K over all levels' masked maps. ---
+    all_vals = jnp.concatenate(masked_maps)          # [P]
+    all_sub = jnp.concatenate(sub_maps)              # [P, 4]
+    p_total = all_vals.shape[0]
+    k = min(capacity, p_total)
+    if p_total > 4 * k and config.detect_topk == "approx":
+        # TPU-native partial-reduce top-k (~4× cheaper than the
+        # sort-based lax.top_k); post-NMS maps are sparse, so recall
+        # loss only affects ties among the weakest candidates.
+        top_vals, top_idx = jax.lax.approx_max_k(
+            all_vals, k, recall_target=0.95)
+    else:
+        top_vals, top_idx = jax.lax.top_k(all_vals, k)
 
-    # --- Global top-K merge across levels. ---
-    all_vals = jnp.concatenate(cand_vals)
-    all_x = jnp.concatenate([p[0] for p in cand_pos])
-    all_y = jnp.concatenate([p[1] for p in cand_pos])
-    all_lvl = jnp.concatenate([
-        jnp.full(cand_vals[n].shape, cand_pos[n][2], jnp.int32)
-        for n in range(n_levels)])
-
-    all_key = jnp.concatenate(cand_keys)
-
-    k = min(capacity, all_vals.shape[0])
-    top_vals, top_idx = jax.lax.top_k(all_vals, k)
-    # One packed flat_take instead of three 1-D gathers (keeps the fast
-    # single-dim lowering under vmap; level index ≤16 is exact in f32).
-    cand = jnp.stack([all_x, all_y, all_lvl.astype(jnp.float32)], axis=-1)
-    sel = flat_take(cand, top_idx)
-    sel_key = flat_take(all_key[:, None], top_idx)[:, 0]
-    # Canonical tie order: lax.top_k breaks equal-response ties
-    # differently between the vmapped and single-frame lowerings
-    # (measured: mirror-symmetric scenes come out pair-swapped), and so
-    # do the PER-LEVEL top-k calls above — so `top_idx` (a rank in
-    # those lists) is itself lowering-dependent and cannot break ties.
-    # Re-sort the selected k by (response DESC, map position ASC) — an
-    # O(k log k) sort over ≤capacity rows — so batched serving is
-    # bit-identical to single-frame calls whenever the selected SET
-    # agrees (ties straddling the capacity cutoff remain ambiguous).
-    perm = jnp.lexsort((sel_key, -top_vals))
+    sel = flat_take(all_sub, top_idx)                # [k, 4]
+    # Canonical tie order: top-k breaks equal-response ties differently
+    # between the vmapped and single-frame lowerings (measured:
+    # mirror-symmetric scenes come out pair-swapped), so the rank output
+    # cannot break ties. The candidate's MAP position (global flat
+    # index) is its canonical identity; re-sort the selected k by
+    # (response DESC, map position ASC) — an O(k log k) sort over
+    # ≤capacity rows — so batched serving is bit-identical to
+    # single-frame calls whenever the selected SET agrees (ties
+    # straddling the capacity cutoff remain ambiguous).
+    perm = jnp.lexsort((top_idx, -top_vals))
     top_vals = top_vals[perm]
+    top_idx = top_idx[perm]
     sel = sel[perm]
-    sel_x = sel[:, 0]
-    sel_y = sel[:, 1]
-    sel_lvl = sel[:, 2].astype(jnp.int32)
+    sel_lvl = jnp.clip(sel[:, 2].astype(jnp.int32), 0, n_levels - 1)
+
+    # Static per-level tables: flat offset, width, display ratio.
+    offs_np = np.zeros(n_levels, np.int64)
+    for i in range(1, n_levels):
+        offs_np[i] = offs_np[i - 1] + (ldet_list[i - 1].shape[0]
+                                       * ldet_list[i - 1].shape[1])
+    level_off = jnp.asarray(offs_np.astype(np.int32))
+    level_w = jnp.asarray([ld.shape[1] for ld in ldet_list], jnp.int32)
+    ratios = jnp.asarray([m.ratio for m in meta], jnp.float32)
+
+    local = top_idx - level_off[sel_lvl]
+    py = local // level_w[sel_lvl]
+    px = local % level_w[sel_lvl]
+    ratio = ratios[sel_lvl]
+    sel_x = (px.astype(jnp.float32) + sel[:, 0]) * ratio
+    sel_y = (py.astype(jnp.float32) + sel[:, 1]) * ratio
     valid = jnp.isfinite(top_vals)
 
     esigmas = jnp.asarray([m.esigma for m in meta], jnp.float32)

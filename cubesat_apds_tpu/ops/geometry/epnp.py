@@ -215,16 +215,12 @@ def epnp(obj_points, img_points_normalized, weights=None,
         err = jnp.sum(jnp.sum((uv_hat - uv) ** 2, axis=-1) * w)
         return R, t, err
 
-    cases = [case_betas_1(), case_betas_2(), case_betas_3()]
-    Rs, ts, errs = [], [], []
-    for b in cases:
-        R, t, e = pose_from_betas(b)
-        Rs.append(R)
-        ts.append(t)
-        errs.append(e)
-    Rs = jnp.stack(Rs)
-    ts = jnp.stack(ts)
-    errs = jnp.stack(errs)
+    # The three beta initializations are independent: vmap them into ONE
+    # batched chain instead of three sequential ones — the solver is
+    # dispatch-depth-bound at these op sizes, not FLOP-bound (3× fewer
+    # kernels both unbatched refits and under the RANSAC hypothesis vmap).
+    cases = jnp.stack([case_betas_1(), case_betas_2(), case_betas_3()])
+    Rs, ts, errs = jax.vmap(pose_from_betas)(cases)
     errs = jnp.where(jnp.isfinite(errs), errs, jnp.inf)
     best = jnp.argmin(errs)
     R_best = Rs[best]

@@ -229,8 +229,12 @@ def find_homography_ransac(src, dst, valid=None, config: RansacConfig = RansacCo
         ok_new = jnp.all(jnp.isfinite(H_new)) & better
         return (jnp.where(ok_new, H_new, H_cur), jnp.where(ok_new, inl_new, inl_cur))
 
-    H_best, inliers = jax.lax.fori_loop(0, config.refine_iters, refine,
-                                        (H_best, inliers))
+    # Unrolled (refine_iters is small + static): lax.fori_loop pays a
+    # per-iteration dispatch on TPU and blocks cross-iteration fusion.
+    carry = (H_best, inliers)
+    for _ in range(config.refine_iters):
+        carry = refine(0, carry)
+    H_best, inliers = carry
     num_inl = jnp.sum(inliers.astype(jnp.int32))
     ok = (num_valid >= 4) & (num_inl >= 4) & jnp.all(jnp.isfinite(H_best))
     return HomographyResult(H=H_best, inliers=inliers, num_inliers=num_inl, ok=ok)

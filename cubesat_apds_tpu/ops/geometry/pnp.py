@@ -64,7 +64,10 @@ def _gn_refine_pose(rvec, tvec, obj, uv_n, weights, iters: int):
         return jnp.where(ok, new, params)
 
     params = jnp.concatenate([rvec, tvec])
-    params = jax.lax.fori_loop(0, iters, body, params)
+    # Unrolled (iters is small + static): avoids lax.fori_loop's
+    # per-iteration dispatch and lets XLA fuse across GN steps.
+    for _ in range(iters):
+        params = body(0, params)
     return params[:3], params[3:]
 
 
@@ -145,16 +148,23 @@ def solve_pnp_ransac(corr: Correspondences, camera: CameraModel,
     # then Gauss-Newton polish. ---
     w_inl = inliers.astype(jnp.float32)
     n_best = jnp.sum(inliers)
-    for refit in (lambda: epnp(obj, uv_n, w_inl),
-                  lambda: planar_pose(obj, uv_n, w_inl),
-                  lambda: ortho_pose(obj, uv_n, w_inl)):
-        R_fit, t_fit, fit_ok = refit()
-        n_fit = jnp.sum(
-            (_reproj_err_normalized(R_fit, t_fit, obj, uv_n) < thr2) & valid)
-        use_fit = fit_ok & (n_fit >= n_best)
-        R_best = jnp.where(use_fit, R_fit, R_best)
-        t_best = jnp.where(use_fit, t_fit, t_best)
-        n_best = jnp.where(use_fit, n_fit, n_best)
+    fits = [epnp(obj, uv_n, w_inl),
+            planar_pose(obj, uv_n, w_inl),
+            ortho_pose(obj, uv_n, w_inl)]
+    R_fits = jnp.stack([f[0] for f in fits])
+    t_fits = jnp.stack([f[1] for f in fits])
+    ok_fits = jnp.stack([f[2] for f in fits])
+    # One batched rescoring for all three refits; the preference chain
+    # (each later refit wins ties against the running best) stays a
+    # scalar where-cascade, preserving the original selection order.
+    n_fits = jnp.sum(
+        (_reproj_err_normalized(R_fits, t_fits, obj, uv_n) < thr2)
+        & valid[None, :], axis=-1)
+    for i in range(3):
+        use_fit = ok_fits[i] & (n_fits[i] >= n_best)
+        R_best = jnp.where(use_fit, R_fits[i], R_best)
+        t_best = jnp.where(use_fit, t_fits[i], t_best)
+        n_best = jnp.where(use_fit, n_fits[i], n_best)
 
     rvec0 = matrix_to_rodrigues(R_best)
     rvec_gn, tvec_gn = _gn_refine_pose(rvec0, t_best, obj, uv_n, w_inl,
