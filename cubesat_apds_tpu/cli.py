@@ -18,6 +18,43 @@ import sys
 import time
 
 
+def _enable_compile_cache(disabled: bool = False):
+    """Persistent XLA compile cache for CLI cold starts.
+
+    Remote TPU compiles run 20–80 s per program; caching the serialized
+    executables under ~/.cache/apds_tpu/xla (override: APDS_COMPILE_CACHE
+    env; disable: --no-compile-cache or APDS_COMPILE_CACHE=0) makes every
+    CLI invocation after the first start in seconds. CPU is excluded:
+    under the axon site, XLA:CPU executables come back AOT-compiled with
+    foreign machine features and crash the cache serializer (the same
+    reason tests/conftest.py gates the test-suite cache)."""
+    import os
+
+    env = os.environ.get("APDS_COMPILE_CACHE")
+    if disabled or env == "0":
+        return
+    import jax
+
+    # Gate WITHOUT initializing the backend (store/info subcommands
+    # never touch the device; forcing the tunnel handshake here would
+    # slow them and add a failure mode). jax_platforms is a PRIORITY
+    # list (e.g. "axon,cpu"); it leads with "cpu" only when a caller
+    # forced CPU the way conftest does — exactly the axon-site CPU
+    # case whose executables crash the serializer.
+    platforms = str(getattr(jax.config, "jax_platforms", None) or "")
+    if platforms.split(",")[0].strip().lower() == "cpu":
+        return
+    path = env or os.path.join(os.path.expanduser("~"), ".cache",
+                               "apds_tpu", "xla")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # 0.5 s, not the usual ~2 s: relayed backends (axon) report
+    # near-zero local compile time for remote compiles, so a higher
+    # floor would silently persist nothing (measured; PERF.md "CLI
+    # cold starts").
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def _open_store(path: str):
     """Open either store backend by its on-disk signature."""
     import os
@@ -623,6 +660,10 @@ def main(argv=None):
     p = argparse.ArgumentParser(
         prog="apds-tpu",
         description="TPU-native satellite attitude determination pipeline")
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="skip the persistent XLA compile cache "
+                        "(~/.cache/apds_tpu/xla; APDS_COMPILE_CACHE "
+                        "overrides the path, =0 disables)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pp = sub.add_parser("preprocess", help="build the feature store")
@@ -747,6 +788,7 @@ def main(argv=None):
     pst.set_defaults(fn=_cmd_store)
 
     args = p.parse_args(argv)
+    _enable_compile_cache(args.no_compile_cache)
     return args.fn(args)
 
 

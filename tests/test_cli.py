@@ -602,3 +602,40 @@ def test_cli_stream_follow(scene, capsys):
     assert {os.path.basename(r["frame"]) for r in recs} == {
         "f0.png", "f1.png", "f2.png", "f3.png"}
     assert lines[-1]["summary"]["frames"] == 4
+
+
+def test_compile_cache_gate(tmp_path, monkeypatch):
+    """The persistent compile cache must stay OFF when CPU is the
+    leading platform (the axon-site CPU serializer crash, see
+    conftest) or when disabled, and point at APDS_COMPILE_CACHE
+    otherwise."""
+    import jax
+
+    from cubesat_apds_tpu.cli import _enable_compile_cache
+
+    before = jax.config.jax_compilation_cache_dir
+    # Suite runs with jax_platforms forced to "cpu" -> gate must no-op.
+    _enable_compile_cache(False)
+    assert jax.config.jax_compilation_cache_dir == before
+
+    # Leading non-cpu platform -> enabled at the env-var path. (No jax
+    # computation may run inside this block: the suite's real platform
+    # is the conftest-forced CPU, restored in the finally.)
+    cache_dir = tmp_path / "xla"
+    monkeypatch.setenv("APDS_COMPILE_CACHE", str(cache_dir))
+    jax.config.update("jax_platforms", "axon,cpu")
+    try:
+        _enable_compile_cache(False)
+        assert jax.config.jax_compilation_cache_dir == str(cache_dir)
+        assert cache_dir.is_dir()
+
+        # Explicit disable (flag and =0 env) -> untouched.
+        jax.config.update("jax_compilation_cache_dir", None)
+        _enable_compile_cache(True)
+        assert jax.config.jax_compilation_cache_dir is None
+        monkeypatch.setenv("APDS_COMPILE_CACHE", "0")
+        _enable_compile_cache(False)
+        assert jax.config.jax_compilation_cache_dir is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
+        jax.config.update("jax_platforms", "cpu")
