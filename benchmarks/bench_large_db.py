@@ -33,6 +33,10 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--sharded", action="store_true",
                     help="also bench the mesh-sharded DB path")
+    ap.add_argument("--kernel", choices=("scan", "fused", "both"),
+                    default=None,
+                    help="big-DB matcher: XLA scan, fused Pallas kernel, "
+                         "or both (default: both on TPU, scan elsewhere)")
     args = ap.parse_args()
 
     # The axon TPU plugin ignores JAX_PLATFORMS; honour an explicit cpu
@@ -73,25 +77,71 @@ def main():
         return (d0, d1, i0), jnp.sum(
             jnp.where(d0 < 3.0e38, d0, 0.0)) + jnp.sum(i0)
 
-    out, acc0 = run(qb, db_dev, jnp.uint32(entropy + 99999))
-    float(acc0)
-    t0 = time.perf_counter()
-    acc = None
-    for i in range(args.iters):
-        out, a = run(qb, db_dev, jnp.uint32(entropy + i))
-        acc = a if acc is None else acc + a
-    float(acc)                      # forces every iteration
-    dt = (time.perf_counter() - t0) / args.iters
-
+    kernel = args.kernel or (
+        "both" if jax.devices()[0].platform == "tpu" else "scan")
     comparisons = args.queries * args.db_size
-    print(json.dumps({
-        "bench": "large_db_knn2",
-        "db_packed": True,
-        "db_size": args.db_size,
-        "queries": args.queries,
-        "ms": round(dt * 1e3, 2),
-        "gcomparisons_per_s": round(comparisons / dt / 1e9, 2),
-    }), flush=True)
+
+    if kernel in ("scan", "both"):
+        out, acc0 = run(qb, db_dev, jnp.uint32(entropy + 99999))
+        float(acc0)
+        t0 = time.perf_counter()
+        acc = None
+        for i in range(args.iters):
+            out, a = run(qb, db_dev, jnp.uint32(entropy + i))
+            acc = a if acc is None else acc + a
+        float(acc)                      # forces every iteration
+        dt = (time.perf_counter() - t0) / args.iters
+        print(json.dumps({
+            "bench": "large_db_knn2",
+            "db_packed": True,
+            "db_size": args.db_size,
+            "queries": args.queries,
+            "ms": round(dt * 1e3, 2),
+            "gcomparisons_per_s": round(comparisons / dt / 1e9, 2),
+        }), flush=True)
+
+    if kernel in ("fused", "both"):
+        from cubesat_apds_tpu.ops.pallas.match_kernel import (
+            knn2_fused, layout_db_blocks, pack_words)
+
+        on_tpu = jax.devices()[0].platform == "tpu"
+        # Serving layout: pack + block-transpose ONCE, reuse per query.
+        layout = jax.jit(lambda d: layout_db_blocks(pack_words(d)))(db_dev)
+        jax.block_until_ready(layout)
+
+        @jax.jit
+        def run_f(qb, blocks, valid, salt):
+            flip = (jnp.arange(qb.shape[1], dtype=jnp.uint32)
+                    == salt % qb.shape[1]).astype(qb.dtype)
+            q = jnp.bitwise_xor(qb, flip[None, :]).astype(jnp.int8)
+            d0, d1, i0 = knn2_fused(q, (blocks, valid),
+                                    interpret=not on_tpu)
+            return (d0, d1, i0), jnp.sum(
+                jnp.where(d0 < 3.0e38, d0, 0.0)) + jnp.sum(i0)
+
+        out_f, acc0 = run_f(qb, *layout, jnp.uint32(entropy + 424242))
+        float(acc0)
+        t0 = time.perf_counter()
+        acc = None
+        for i in range(args.iters):
+            out_f, a = run_f(qb, *layout, jnp.uint32(entropy + i))
+            acc = a if acc is None else acc + a
+        float(acc)
+        dt_f = (time.perf_counter() - t0) / args.iters
+        res = {
+            "bench": "large_db_knn2_fused",
+            "db_packed": True,
+            "db_size": args.db_size,
+            "queries": args.queries,
+            "ms": round(dt_f * 1e3, 2),
+            "gcomparisons_per_s": round(comparisons / dt_f / 1e9, 2),
+        }
+        if kernel == "both":
+            # Bit-equivalence on the SAME salted queries (salt i-1).
+            same = all(np.array_equal(np.asarray(a), np.asarray(b))
+                       for a, b in zip(out, out_f))
+            res["matches_scan"] = bool(same)
+        print(json.dumps(res), flush=True)
 
     if args.sharded:
         from jax.sharding import Mesh

@@ -149,6 +149,9 @@ class MatchConfig:
     ratio: float = 0.3              # reference test uses 0.3 (lib.rs:289)
     crosscheck: bool = False
     db_block: int = 65536           # descriptors per device tile for big DBs
+    kernel: str = "auto"            # big-DB path: "auto" | "fused" | "scan"
+    #   auto = fused Pallas kNN-2 on TPU (bit-identical, ~5× the scan),
+    #   XLA scan elsewhere; see ops/pallas/match_kernel.py.
 
 
 @dataclasses.dataclass(frozen=True)

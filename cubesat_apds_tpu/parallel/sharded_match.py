@@ -102,6 +102,35 @@ def make_sharded_knn2_blockwise(mesh: Mesh, block: int = 65536,
     return sharded
 
 
+def make_sharded_knn2_fused(mesh: Mesh, db_block: int = 4096,
+                            axis: str = "tp"):
+    """Sharded top-2 with the fused Pallas kNN-2 kernel per shard
+    (ops/pallas/match_kernel.py): the DB stays PACKED and sharded over
+    `axis`, each chip sweeps its shard with the VMEM-resident fused
+    matmul+top-2 kernel (~5× the XLA scan, bit-identical), partials
+    merge over ICI. Off-TPU (the CPU test mesh) the kernel runs in
+    interpreter mode — same program, same results."""
+    interpret = jax.devices()[0].platform != "tpu"
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def sharded(q_bits, db_packed_local, db_valid_local):
+        from cubesat_apds_tpu.ops.pallas.match_kernel import (
+            knn2_fused, pack_words)
+        d0, d1, i0 = knn2_fused(
+            q_bits.astype(jnp.int8), pack_words(db_packed_local),
+            db_valid_local, db_block=db_block, interpret=interpret)
+        return _merge_partials(d0, d1, i0, db_packed_local.shape[0], axis)
+
+    return sharded
+
+
 def sharded_knn_match(mesh: Mesh, q_desc_packed, db_desc_packed,
                       ratio: float = 0.3, q_valid=None, db_valid=None,
                       axis: str = "tp") -> Matches:

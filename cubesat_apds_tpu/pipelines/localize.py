@@ -103,7 +103,8 @@ def localize_frame_jit(frame, db: DeviceDb, camera: CameraModel,
 
     matches = knn_match(
         feats.descriptors, db.descriptors, ratio=config.match.ratio,
-        q_valid=kp.valid, db_valid=db.valid, block=config.match.db_block)
+        q_valid=kp.valid, db_valid=db.valid, block=config.match.db_block,
+        kernel=config.match.kernel)
 
     q_pts, t_pts = matched_points(kp.xy, db.xy, matches)
     homog = find_homography_ransac(q_pts, t_pts, valid=matches.valid,

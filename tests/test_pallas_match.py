@@ -1,0 +1,118 @@
+"""Fused Pallas kNN-2 matcher: bit-equivalence vs the XLA reference path.
+
+Runs the kernel in interpreter mode on the CPU suite (the Mosaic-compiled
+path is exercised on real TPU by benchmarks/exp_r3l_pallas_match.py); the
+interpreter executes the same kernel program, so indexing/merge/unpack
+logic is covered here.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cubesat_apds_tpu.ops.match import knn2, knn2_blockwise, unpack_bits
+from cubesat_apds_tpu.ops.pallas.match_kernel import knn2_fused, pack_words
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(11)
+
+
+def _assert_knn_equal(ref, got):
+    for name, a, b in zip(("d0", "d1", "i0"), ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), name)
+
+
+def test_pack_words_roundtrip_bit_order(rng):
+    """pack_words + the kernel's word-unpack order must reproduce
+    unpack_bits' OpenCV bit order: bit b of little-endian word w is
+    original bit 32*w + b."""
+    p = rng.integers(0, 256, (16, 61), dtype=np.uint8)
+    words = np.asarray(pack_words(p))
+    bits_ref = np.asarray(unpack_bits(p))
+    shifts = np.arange(32)
+    bits_words = ((words[:, :, None] >> shifts) & 1)    # [N, 16, 32]
+    assert np.array_equal(bits_words.reshape(16, 512), bits_ref)
+
+
+def test_fused_matches_knn2_exact(rng):
+    q = rng.integers(0, 256, (96, 61), dtype=np.uint8)
+    db = rng.integers(0, 256, (3000, 61), dtype=np.uint8)
+    qb = unpack_bits(q)
+    ref = knn2(qb, unpack_bits(db))
+    got = knn2_fused(qb, pack_words(db), q_tile=32, db_block=256,
+                     interpret=True)
+    _assert_knn_equal(ref, got)
+
+
+def test_fused_validity_and_ragged(rng):
+    """Masked rows never match; ragged Q/M pad internally."""
+    q = rng.integers(0, 256, (70, 61), dtype=np.uint8)        # 70 % 32 != 0
+    db = rng.integers(0, 256, (1234, 61), dtype=np.uint8)     # ragged M
+    dv = rng.random(1234) > 0.3
+    qb = unpack_bits(q)
+    ref = knn2(qb, unpack_bits(db), db_valid=jnp.asarray(dv))
+    got = knn2_fused(qb, pack_words(db), jnp.asarray(dv), q_tile=32,
+                     db_block=256, interpret=True)
+    _assert_knn_equal(ref, got)
+    # Winners must come from valid rows only.
+    assert dv[np.asarray(got[2])].all()
+
+
+def test_fused_tie_break_lowest_index(rng):
+    """Duplicate DB rows: best index is the LOWEST matching index and the
+    duplicate remains eligible as second-best (OpenCV semantics)."""
+    q = rng.integers(0, 256, (8, 61), dtype=np.uint8)
+    db = rng.integers(0, 256, (500, 61), dtype=np.uint8)
+    db[137] = q[0]    # exact duplicates of query 0 at three indices,
+    db[301] = q[0]    # spanning different kernel blocks
+    db[493] = q[0]
+    qb = unpack_bits(q)
+    ref = knn2(qb, unpack_bits(db))
+    got = knn2_fused(qb, pack_words(db), q_tile=8, db_block=128,
+                     interpret=True)
+    _assert_knn_equal(ref, got)
+    d0, d1, i0 = (np.asarray(x) for x in got)
+    assert i0[0] == 137 and d0[0] == 0.0 and d1[0] == 0.0
+
+
+def test_fused_matches_blockwise_packed(rng):
+    """Same results as the production packed-DB scan path."""
+    q = rng.integers(0, 256, (64, 61), dtype=np.uint8)
+    db = rng.integers(0, 256, (5000, 61), dtype=np.uint8)
+    dv = rng.random(5000) > 0.1
+    qb = unpack_bits(q)
+    ref = knn2_blockwise(qb, jnp.asarray(db), 1024, jnp.asarray(dv))
+    got = knn2_fused(qb, pack_words(db), jnp.asarray(dv), q_tile=32,
+                     db_block=512, interpret=True)
+    _assert_knn_equal(ref, got)
+
+
+def test_fused_all_invalid_db(rng):
+    q = rng.integers(0, 256, (16, 61), dtype=np.uint8)
+    db = rng.integers(0, 256, (300, 61), dtype=np.uint8)
+    dv = np.zeros(300, bool)
+    got = knn2_fused(unpack_bits(q), pack_words(db), jnp.asarray(dv),
+                     q_tile=16, db_block=128, interpret=True)
+    d0, d1, i0 = (np.asarray(x) for x in got)
+    assert (d0 > 1e30).all() and (d1 > 1e30).all() and (i0 == 0).all()
+
+
+def test_knn_match_fused_kernel_selection(rng):
+    """knn_match(kernel="fused") (interpreter off-TPU) returns the same
+    Matches as the forced scan path in the big-DB branch."""
+    from cubesat_apds_tpu.ops.match import knn_match
+
+    q = rng.integers(0, 256, (48, 61), dtype=np.uint8)
+    db = rng.integers(0, 256, (4000, 61), dtype=np.uint8)
+    qv = np.ones(48, bool); qv[5] = False
+    dv = np.ones(4000, bool); dv[::7] = False
+    kw = dict(ratio=0.9, q_valid=jnp.asarray(qv), db_valid=jnp.asarray(dv),
+              block=1024)
+    ref = knn_match(q, db, kernel="scan", **kw)
+    got = knn_match(q, db, kernel="fused", **kw)
+    for name in ("query_idx", "train_idx", "distance", "valid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(got, name)),
+            name)

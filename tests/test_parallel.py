@@ -228,3 +228,37 @@ def test_sharded_blockwise_1m_packed_matches_single_device(rng):
     np.testing.assert_array_equal(ref[2], got[2])
     assert got[0][0] == 0 and got[2][0] == 420_000
     assert got[0][1] == 0 and got[2][1] == 777_216
+
+
+def test_sharded_fused_kernel_matches_blockwise(rng):
+    """make_sharded_knn2_fused (per-shard fused Pallas kNN-2, interpreter
+    mode off-TPU) must agree bit-for-bit with the sharded blockwise scan
+    and the single-device reference, including cross-shard tie-breaks and
+    validity holes."""
+    from cubesat_apds_tpu.parallel.sharded_match import (
+        make_sharded_knn2_blockwise, make_sharded_knn2_fused)
+
+    mesh = make_mesh(dp=1, tp=8)
+    M_total = 8 * 1024
+    q = _rand_desc(rng, 32)
+    db = rng.integers(0, 256, (M_total, DESC_BYTES), dtype=np.uint8)
+    db[1_500] = q[0]                       # shard 1
+    db[6_900] = q[0]                       # shard 6 — higher index loses
+    valid = np.ones(M_total, bool)
+    valid[::13] = False
+    valid[1_500] = valid[6_900] = True
+
+    qb = M.unpack_bits(q)
+    dbj = jnp.asarray(db)
+    vj = jnp.asarray(valid)
+    ref = [np.asarray(x) for x in M.knn2(qb, M.unpack_bits(db), db_valid=vj)]
+    fn = make_sharded_knn2_fused(mesh, db_block=256)
+    got = [np.asarray(x) for x in fn(qb, dbj, vj)]
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(r, g)
+    assert got[0][0] == 0 and got[2][0] == 1_500
+
+    scan = make_sharded_knn2_blockwise(mesh, block=512)
+    got2 = [np.asarray(x) for x in scan(qb, dbj, vj)]
+    for g, g2 in zip(got, got2):
+        np.testing.assert_array_equal(g, g2)
