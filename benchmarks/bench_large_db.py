@@ -37,6 +37,11 @@ def main():
                     default=None,
                     help="big-DB matcher: XLA scan, fused Pallas kernel, "
                          "or both (default: both on TPU, scan elsewhere)")
+    ap.add_argument("--device-db", action="store_true",
+                    help="generate the random DB on device (jax.random) "
+                         "instead of uploading it — the host->device link "
+                         "is the bottleneck past ~4M rows on tunneled "
+                         "TPUs, and a 16M-row DB is a 1 GB transfer")
     args = ap.parse_args()
 
     # The axon TPU plugin ignores JAX_PLATFORMS; honour an explicit cpu
@@ -53,12 +58,19 @@ def main():
 
     rng = np.random.default_rng(0)
     q = rng.integers(0, 256, (args.queries, 61), dtype=np.uint8)
-    db = rng.integers(0, 256, (args.db_size, 61), dtype=np.uint8)
 
     qb = jnp.asarray(M.unpack_bits(q))
     # The DB stays PACKED (61 B/descriptor): knn2_blockwise unpacks per
     # block inside its scan — 8× more DB per chip than unpacked bits.
-    db_dev = jnp.asarray(db)
+    if args.device_db:
+        db_dev = jax.jit(
+            lambda: jax.random.randint(
+                jax.random.key(0), (args.db_size, 61), 0, 256, jnp.uint8),
+            )()
+        jax.block_until_ready(db_dev)
+    else:
+        db = rng.integers(0, 256, (args.db_size, 61), dtype=np.uint8)
+        db_dev = jnp.asarray(db)
     dbb = None  # unpacked view only materialized for the sharded check
 
     # Per-iteration query salt + chained fetch: the tunneled-TPU relay

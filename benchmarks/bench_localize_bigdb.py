@@ -1,0 +1,137 @@
+"""End-to-end localization against a PRODUCTION-SCALE descriptor DB.
+
+BASELINE config 1's pipeline (512² frame, AKAZE detect → kNN match →
+RANSAC homography → PnP) at config 4's DB scale (1M+ geo-referenced
+descriptors): the serving configuration a deployed localizer runs when
+one LoD of a continental mosaic is resident on-chip. Compares the
+big-DB matcher paths end-to-end:
+
+  * kernel=scan   — knn2_blockwise XLA streaming top-2
+  * kernel=fused  — fused Pallas kNN-2, layout repacked per frame
+  * fused+layout  — fused kernel with the DeviceDb pre-laid-out block
+                    layout (the Localizer serving path)
+
+Uses bench.py's hardened measurement protocol (per-iteration salt +
+chained scalar fetch, RTT subtracted). The DB is synthesized ON DEVICE
+(real extracted descriptors tiled + device-PRNG filler rows) so no
+gigabyte upload rides the tunnel.
+
+Usage: python benchmarks/bench_localize_bigdb.py [--db-size 1048576]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _make_frame  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--db-size", type=int, default=1 << 20)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--modes", default="scan,fused,fused+layout")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cubesat_apds_tpu.core.config import (
+        AkazeConfig, MatchConfig, PipelineConfig, PnPConfig, RansacConfig)
+    from cubesat_apds_tpu.core.types import CameraModel
+    from cubesat_apds_tpu.ops.features.akaze import detect_and_compute
+    from cubesat_apds_tpu.pipelines.localize import (
+        DeviceDb, localize_frame_jit)
+
+    rng = np.random.default_rng(42)
+    frame = jnp.asarray(_make_frame(rng))
+
+    # Real rows so matching finds true correspondences; device-PRNG
+    # filler so the DB reaches production scale without an upload.
+    feats = detect_and_compute(
+        jnp.asarray(np.roll(np.asarray(frame), (7, 13), axis=(0, 1))),
+        AkazeConfig(capacity=2048))
+    m = args.db_size
+
+    @jax.jit
+    def build_db(desc_real, xy_real, valid_real):
+        filler = jax.random.randint(jax.random.key(7), (m, 61), 0, 256,
+                                    jnp.uint8)
+        desc = filler.at[:desc_real.shape[0]].set(desc_real)
+        xy = jax.random.uniform(jax.random.key(8), (m, 2), jnp.float32,
+                                0.0, 8192.0)
+        xy = xy.at[:xy_real.shape[0]].set(xy_real)
+        valid = jnp.ones((m,), bool).at[:valid_real.shape[0]].set(valid_real)
+        obj = jnp.concatenate([xy, jnp.zeros((m, 1), jnp.float32)], axis=1)
+        return desc, xy, valid, obj
+
+    desc, xy, valid, obj = build_db(
+        feats.descriptors, feats.keypoints.xy, feats.keypoints.valid)
+    jax.block_until_ready(desc)
+    camera = CameraModel.ideal(500.0, 500.0, 256.0, 256.0)
+
+    def bench_mode(mode):
+        kernel = "scan" if mode == "scan" else "fused"
+        layout = None
+        if mode == "fused+layout":
+            from cubesat_apds_tpu.ops.pallas.match_kernel import (
+                layout_db_blocks, pack_words)
+            layout = jax.jit(layout_db_blocks)(pack_words(desc), valid)
+            jax.block_until_ready(layout)
+        db = DeviceDb(descriptors=desc, xy=xy, valid=valid,
+                      obj_points=obj, has_world=True, match_layout=layout)
+        config = PipelineConfig(
+            akaze=AkazeConfig(capacity=2048),
+            match=MatchConfig(ratio=0.75, kernel=kernel),
+            ransac=RansacConfig(num_hypotheses=256),
+            pnp=PnPConfig(num_hypotheses=64),
+        )
+
+        @jax.jit
+        def step(f, salt):
+            r = localize_frame_jit(f + salt * jnp.float32(1e-7), db,
+                                   camera, config, solve_pose=True)
+            return (r.homography.num_inliers + r.num_matches
+                    + r.pose.num_inliers).astype(jnp.float32)
+
+        entropy = np.float32(time.time() % 1000.0)
+
+        def run(iters, base):
+            acc = None
+            for i in range(iters):
+                o = step(frame, jnp.float32(base + i))
+                acc = o if acc is None else acc + o
+            return float(acc)
+
+        run(2, entropy + 10_000.0)          # compile + warmup
+        rtts = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            float(jnp.asarray(np.float32(i)) + jnp.float32(1))
+            rtts.append(time.perf_counter() - t0)
+        rtt = float(np.median(rtts))
+        t0 = time.perf_counter()
+        run(args.iters, entropy)
+        dt = time.perf_counter() - t0 - rtt
+        print(json.dumps({
+            "bench": "localize_bigdb",
+            "mode": mode,
+            "db_size": m,
+            "ms_per_frame": round(dt / args.iters * 1e3, 2),
+            "fps": round(args.iters / dt, 2),
+        }), flush=True)
+
+    for mode in args.modes.split(","):
+        bench_mode(mode)
+
+
+if __name__ == "__main__":
+    main()

@@ -37,17 +37,19 @@ def main():
     dv_c = rng.random(m_c) > 0.05
     ref = jax.jit(lambda q: knn2_blockwise(
         q, jnp.asarray(dbp_c), 65536, jnp.asarray(dv_c)))(qb)
-    got = knn2_fused(qb, pack_words(dbp_c), jnp.asarray(dv_c))
-    ok = all(np.array_equal(np.asarray(a), np.asarray(b))
-             for a, b in zip(ref, got))
-    print(f"correctness @100k (masked): {'BIT-EXACT' if ok else 'MISMATCH'}",
-          flush=True)
-    if not ok:
-        for name, a, b in zip(("d0", "d1", "i0"), ref, got):
-            a, b = np.asarray(a), np.asarray(b)
-            n = int(np.sum(a != b))
-            print(f"  {name}: {n} rows differ", flush=True)
-        return
+    for variant in ("sweep", "tile"):
+        got = knn2_fused(qb, pack_words(dbp_c), jnp.asarray(dv_c),
+                         variant=variant)
+        ok = all(np.array_equal(np.asarray(a), np.asarray(b))
+                 for a, b in zip(ref, got))
+        print(f"correctness @100k (masked, {variant}): "
+              f"{'BIT-EXACT' if ok else 'MISMATCH'}", flush=True)
+        if not ok:
+            for name, a, b in zip(("d0", "d1", "i0"), ref, got):
+                a, b = np.asarray(a), np.asarray(b)
+                n = int(np.sum(a != b))
+                print(f"  {name}: {n} rows differ", flush=True)
+            return
 
     # --- timing ------------------------------------------------------
     for m in ([1 << 20] if quick else [1 << 20, 4 << 20]):
@@ -55,36 +57,37 @@ def main():
         dw = jax.device_put(pack_words(dbp))
         cmp_total = q_n * m
         print(f"M = {m}:", flush=True)
-        for q_tile, db_block, mxu in (
-            (256, 2048, "int8"),
-            (256, 4096, "int8"),
-            (256, 8192, "int8"),
-            (512, 4096, "int8"),
-            (256, 4096, "bf16"),
+        for variant, q_tile, db_block, mxu in (
+            ("tile", 512, 4096, "int8"),      # round-3 v1 operating point
+            ("sweep", 512, 4096, "int8"),
+            ("sweep", 256, 4096, "int8"),
+            ("sweep", 256, 8192, "int8"),
+            ("sweep", 128, 4096, "int8"),
+            ("sweep", 256, 2048, "int8"),
         ):
             # NB: the DB is an explicit ARGUMENT — closing over `dw`
             # embeds it as an HLO constant and the axon relay's compile
             # request body then grows with M (HTTP 413 at 256 MB).
             @jax.jit
-            def f(q, d, salt, qt=q_tile, db=db_block, mx=mxu):
+            def f(q, d, salt, var=variant, qt=q_tile, db=db_block, mx=mxu):
                 qs = jnp.where(
                     (jnp.arange(q.shape[1])[None, :]
                      == (salt.astype(jnp.int32) % q.shape[1])),
                     1 - q, q).astype(jnp.int8)
                 d0, d1, i0 = knn2_fused(qs, d, q_tile=qt, db_block=db,
-                                        mxu=mx)
+                                        mxu=mx, variant=var)
                 return (jnp.sum(d0) + jnp.sum(d1)
                         + jnp.sum(i0.astype(jnp.float32))).astype(jnp.float32)
 
             try:
                 ms = bench(lambda s: f(qb, dw, s), iters=30)
             except Exception as e:  # Mosaic lowering may reject a combo
-                print(f"  qt={q_tile} bm={db_block} {mxu}: FAILED "
+                print(f"  {variant} qt={q_tile} bm={db_block} {mxu}: FAILED "
                       f"{type(e).__name__}: {str(e)[:200]}", flush=True)
                 continue
             gcps = cmp_total / (ms * 1e-3) / 1e9
-            print(f"  qt={q_tile} bm={db_block} {mxu}: {ms:7.2f} ms/pass "
-                  f"= {gcps:6.1f} G cmp/s", flush=True)
+            print(f"  {variant} qt={q_tile} bm={db_block} {mxu}: "
+                  f"{ms:7.2f} ms/pass = {gcps:6.1f} G cmp/s", flush=True)
 
 
 if __name__ == "__main__":

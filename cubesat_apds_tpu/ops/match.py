@@ -201,7 +201,7 @@ def _ratio_matches(d0, d1, i0, ratio: float) -> Matches:
 
 def knn_match(q_desc_packed, db_desc_packed, ratio: float = 0.3,
               q_valid=None, db_valid=None, block: int | None = None,
-              kernel: str = "auto") -> Matches:
+              kernel: str = "auto", db_layout=None) -> Matches:
     """get_knn_matches equivalent (reference lib.rs:94-114): k=2 + Lowe ratio.
 
     Inputs are packed uint8 descriptors; returns fixed-capacity Matches of
@@ -211,6 +211,11 @@ def knn_match(q_desc_packed, db_desc_packed, ratio: float = 0.3,
     branch on TPU (bit-identical to the scan, ~5× faster — the distance
     tile never leaves VMEM), the XLA scan elsewhere; "scan"/"fused"
     force a path ("fused" off-TPU runs the kernel interpreter — tests).
+    db_layout: optional pre-computed (blocks, vpop) layout for the fused
+    kernel (ops.pallas.match_kernel.layout_db_blocks) — serving paths
+    compute it once per DB so repeated frames skip the repack. Must
+    describe the same (db_desc_packed, db_valid); ignored on the scan
+    path.
     """
     qb = unpack_bits(q_desc_packed)
     if block is not None and db_desc_packed.shape[0] > block:
@@ -218,8 +223,12 @@ def knn_match(q_desc_packed, db_desc_packed, ratio: float = 0.3,
         if kernel == "fused" or (kernel == "auto" and on_tpu):
             from cubesat_apds_tpu.ops.pallas.match_kernel import (
                 knn2_fused, pack_words)
-            d0, d1, i0 = knn2_fused(qb, pack_words(db_desc_packed),
-                                    db_valid, interpret=not on_tpu)
+            if db_layout is not None:
+                d0, d1, i0 = knn2_fused(qb, db_layout,
+                                        interpret=not on_tpu)
+            else:
+                d0, d1, i0 = knn2_fused(qb, pack_words(db_desc_packed),
+                                        db_valid, interpret=not on_tpu)
         else:
             # Pass the DB PACKED: knn2_blockwise unpacks per block inside
             # its scan, so HBM never holds the 8× unpacked bit array.

@@ -11,16 +11,23 @@ magnitude above the matmul's compute time (measured 60 ms/pass vs a
 ~5 ms int8-matmul floor, PERF.md "Large-DB matching"). Here the distance
 tile lives and dies in VMEM:
 
-    grid = (Q/TQ, M/BM)            # m innermost: sequential top-2 merge
-    per step: unpack a [BM, 61]-byte packed block (shipped as int32
-    words, pre-transposed to [16, BM]) into a [512, BM] bit matrix,
-    one MXU matmul [TQ,512]x[512,BM], then a masked three-pass min
-    reduction straight out of registers/VMEM into a [TQ] running
-    (best, second, index) carried in VMEM scratch across the m sweep.
+    grid = (M/BM, Q/TQ)            # DB block outer, query tile inner
+    per DB block: unpack its [16, BM]-int32 packed words (pre-transposed
+    by `layout_db_blocks`) ONCE into a [512, BM] int8 bit matrix held in
+    VMEM scratch; every query tile then runs one MXU matmul
+    [TQ,512]×[512,BM] and folds a keyed two-pass min straight into its
+    [TQ, 3] running (best, second, index) slice of a VMEM accumulator
+    carried across the M sweep.
 
-HBM traffic per pass drops to the packed DB bytes re-streamed once per
-query tile (61 B/descriptor), and the reduction is fused with its
-producer.
+With the DB block outermost the bit-unpack amortizes over all Q/TQ query
+tiles and the packed DB streams from HBM exactly ONCE per pass
+(61 B/descriptor); the reduction is fused with its producer. The
+row-validity mask and the per-row popcount(db) are folded into one
+pre-computed `vpop` plane (valid → popcount, invalid → huge), so the
+kernel's epilogue is: rowdist = vpop − 2·dot, then two keyed min passes.
+(`variant="tile"` keeps the query-outer grid of the first version —
+re-unpacks per query tile — for A/B and as a fallback when Q is too
+large for the accumulator scratch.)
 
 Bit order: the in-kernel unpack (little-endian int32 words, LSB-first)
 reproduces `ops.match.unpack_bits`' OpenCV byte order exactly — bit
@@ -31,9 +38,7 @@ tests/test_pallas_match.py).
 The kernel carries rowdist = popcount(db) - 2*(q.db) instead of the full
 Hamming distance: per query row the popcount(q) term is constant, so
 argmin/top-2 order is unchanged, and the wrapper adds it back at the
-end. This keeps the in-kernel popcount to the db side, computed from the
-packed words with the classic SWAR bit-trick on [16, BM] int32 (no
-[512, BM] int32 materialization).
+end.
 """
 
 from __future__ import annotations
@@ -48,8 +53,12 @@ from jax.experimental.pallas import tpu as pltpu
 from cubesat_apds_tpu.core.config import DESC_BITS_PADDED
 
 _WORDS = DESC_BITS_PADDED // 32          # 16 int32 words per descriptor
-_BIG = jnp.int32(1 << 29)                # invalid-rowdist sentinel
+_BIG = jnp.int32(1 << 29)                # invalid-rowdist threshold
+# Invalid rows carry vpop = _BIG + 1024 so rowdist = vpop − 2·dot stays
+# ≥ _BIG for any dot ∈ [0, 512] while valid rowdist is ≤ 512.
+_VPOP_INVALID = (1 << 29) + 1024
 _INVALID_DIST = jnp.float32(3.0e38)      # matches ops.match._INVALID_DIST
+_KEY_MAX = jnp.int32(2**31 - 1)
 
 
 def pack_words(db_packed):
@@ -77,8 +86,101 @@ def _popcount32(w):
     return (w * 0x01010101) >> 24
 
 
-def _kernel(q_ref, dbw_ref, valid_ref, out_ref, acc_ref, *,
-            block_m: int, mxu_dtype):
+def _unpack_block(words, block_m):
+    """[16, BM] int32 words → [512, BM] {0,1} bits (OpenCV bit order:
+    bit b of little-endian word w is descriptor bit 32*w + b)."""
+    shifts = jax.lax.broadcasted_iota(jnp.int32, (_WORDS, 32, 1), 1)
+    bits = ((words[:, None, :] >> shifts) & 1)           # [16, 32, BM]
+    return bits.reshape(DESC_BITS_PADDED, block_m)
+
+
+def _mxu_dot(q, bits_t, mxu_dtype):
+    if mxu_dtype == jnp.int8:
+        return jax.lax.dot_general(
+            q, bits_t.astype(jnp.int8),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    # bf16 fallback: products are 0/1 and the f32 accumulation is
+    # exact for sums <= 512, so distances stay bit-identical.
+    return jax.lax.dot_general(
+        q.astype(mxu_dtype), bits_t.astype(mxu_dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+
+
+def _merge_acc(acc, bd0, bd1, bi_g):
+    """Fold one block's (best, second, best-index) into the running
+    [TQ, 3] accumulator columns, preserving lowest-global-index
+    tie-breaks (OpenCV semantics)."""
+    s0 = acc[:, 0:1]
+    s1 = acc[:, 1:2]
+    si = acc[:, 2:3]
+    better = (bd0 < s0) | ((bd0 == s0) & (bi_g < si))
+    n0 = jnp.where(better, bd0, s0)
+    ni = jnp.where(better, bi_g, si)
+    loser = jnp.where(better, s0, bd0)
+    n1 = jnp.minimum(jnp.minimum(s1, bd1), loser)
+    c = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+    return jnp.where(c == 0, n0, jnp.where(c == 1, n1,
+                     jnp.where(c == 2, ni, 0)))
+
+
+def _kernel_sweep(q_ref, dbw_ref, vpop_ref, out_ref, acc_ref, bits_ref, *,
+                  block_m: int, mxu_dtype):
+    """DB-block-outer variant: grid = (M/BM, Q/TQ).
+
+    The bit-unpack runs once per DB block (amortized over every query
+    tile) and the packed DB streams from HBM exactly once per pass.
+    Reduction is keyed: key = (rowdist+512)<<13 | col packs the
+    within-block tie-break into one min pass (needs BM ≤ 8192)."""
+    j = pl.program_id(0)          # DB block (outer)
+    i = pl.program_id(1)          # query tile (inner)
+    nm = pl.num_programs(0)
+    big = jnp.int32(1 << 29)
+    key_max = jnp.int32(2**31 - 1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[i] = jnp.where(
+            jax.lax.broadcasted_iota(
+                jnp.int32, acc_ref.shape[1:], 1) < 2, big, 0)
+
+    @pl.when(i == 0)
+    def _unpack():
+        bits_ref[:, :] = _unpack_block(
+            dbw_ref[0], block_m).astype(jnp.int8)
+
+    dot = _mxu_dot(q_ref[:, :], bits_ref[:, :], mxu_dtype)   # [TQ, BM]
+    rowdist = vpop_ref[0, 0:1, :] - 2 * dot   # invalid rows ≥ big
+
+    col = jax.lax.broadcasted_iota(jnp.int32, rowdist.shape, 1)
+    keys = jnp.where(rowdist < jnp.int32(1 << 28),
+                     ((rowdist + 512) << 13) | col, key_max)
+    k0 = jnp.min(keys, axis=1, keepdims=True)                # [TQ, 1]
+    bi = k0 & jnp.int32(8191)
+    bd0 = jnp.where(k0 == key_max, big, (k0 >> 13) - 512)
+    # Second best: exclude only the winning column (equal distances at
+    # other indices remain eligible).
+    k1 = jnp.min(jnp.where(col == bi, key_max, keys), axis=1,
+                 keepdims=True)
+    bd1 = jnp.where(k1 == key_max, big, (k1 >> 13) - 512)
+    bi_g = jnp.where(bd0 >= big, 0, jnp.int32(block_m) * j + bi)
+
+    new = _merge_acc(acc_ref[i], bd0, bd1, bi_g)
+    acc_ref[i] = new
+
+    @pl.when(j == nm - 1)
+    def _emit():
+        out_ref[:, :] = new
+
+
+def _kernel_tile(q_ref, dbw_ref, vpop_ref, out_ref, acc_ref, *,
+                 block_m: int, mxu_dtype):
+    """Query-tile-outer variant: grid = (Q/TQ, M/BM).
+
+    Re-unpacks each DB block once per query tile; the accumulator is a
+    single [TQ, 3] scratch so Q is unbounded. Kept for A/B and as the
+    fallback when Q exceeds the sweep variant's accumulator budget."""
     j = pl.program_id(1)
     nm = pl.num_programs(1)
     big = jnp.int32(1 << 29)
@@ -89,101 +191,78 @@ def _kernel(q_ref, dbw_ref, valid_ref, out_ref, acc_ref, *,
             jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 1) < 2,
             big, 0)
 
-    words = dbw_ref[0]                                   # [16, BM] int32
-    # Unpack to a [512, BM] bit matrix: bit b of word w -> row 32*w + b,
-    # which equals the OpenCV bit index (little-endian words, LSB-first).
-    shifts = jax.lax.broadcasted_iota(jnp.int32, (_WORDS, 32, 1), 1)
-    bits = ((words[:, None, :] >> shifts) & 1)           # [16, 32, BM]
-    bits_t = bits.reshape(DESC_BITS_PADDED, block_m)     # [512, BM]
-
-    if mxu_dtype == jnp.int8:
-        dot = jax.lax.dot_general(
-            q_ref[:, :], bits_t.astype(jnp.int8),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-    else:
-        # bf16 fallback: products are 0/1 and the f32 accumulation is
-        # exact for sums <= 512, so distances stay bit-identical.
-        dot = jax.lax.dot_general(
-            q_ref[:, :].astype(mxu_dtype), bits_t.astype(mxu_dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.int32)
-
-    popdb = jnp.sum(_popcount32(words), axis=0, keepdims=True)  # [1, BM]
-    rowdist = popdb - 2 * dot                            # [TQ, BM]
+    bits_t = _unpack_block(dbw_ref[0], block_m)
+    dot = _mxu_dot(q_ref[:, :], bits_t, mxu_dtype)
+    rowdist = vpop_ref[0, 0:1, :] - 2 * dot   # invalid rows ≥ big
 
     col = jax.lax.broadcasted_iota(jnp.int32, rowdist.shape, 1)
-    dm = jnp.where(valid_ref[0, 0:1, :] != 0, rowdist, big)
-    bd0 = jnp.min(dm, axis=1, keepdims=True)             # [TQ, 1]
+    bd0 = jnp.min(rowdist, axis=1, keepdims=True)            # [TQ, 1]
     # First column index achieving the min = OpenCV lowest-index
     # tie-break within the block.
-    bi = jnp.min(jnp.where(dm == bd0, col, jnp.int32(2 ** 30)),
+    bi = jnp.min(jnp.where(rowdist == bd0, col, jnp.int32(2 ** 30)),
                  axis=1, keepdims=True)
-    # Second best: exclude only that one column (equal distances at
-    # other indices remain eligible).
-    bd1 = jnp.min(jnp.where(col == bi, big, dm), axis=1, keepdims=True)
+    bd1 = jnp.min(jnp.where(col == bi, big, rowdist), axis=1,
+                  keepdims=True)
     bi_g = jnp.int32(block_m) * j + bi
     bi_g = jnp.where(bd0 >= big, 0, bi_g)
 
-    s0 = acc_ref[:, 0:1]
-    s1 = acc_ref[:, 1:2]
-    si = acc_ref[:, 2:3]
-    better = (bd0 < s0) | ((bd0 == s0) & (bi_g < si))
-    n0 = jnp.where(better, bd0, s0)
-    ni = jnp.where(better, bi_g, si)
-    loser = jnp.where(better, s0, bd0)
-    n1 = jnp.minimum(jnp.minimum(s1, bd1), loser)
-    acc_ref[:, 0:1] = n0
-    acc_ref[:, 1:2] = n1
-    acc_ref[:, 2:3] = ni
+    new = _merge_acc(acc_ref[:, :], bd0, bd1, bi_g)
+    acc_ref[:, :] = new
 
     @pl.when(j == nm - 1)
     def _emit():
-        c = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
-        out_ref[:, :] = jnp.where(
-            c == 0, n0, jnp.where(c == 1, n1, jnp.where(c == 2, ni, 0)))
+        out_ref[:, :] = new
 
 
 def layout_db_blocks(db_words, db_valid=None, *, db_block: int = 4096):
     """Pre-compute the kernel's DB layout: ([nm, 16, BM] int32 word
-    blocks, [nm, BM] int32 validity). Serving paths call this ONCE per
-    DB so repeated queries skip the reshape/transpose."""
+    blocks, [nm, 1, BM] int32 vpop plane — popcount(row) for valid rows,
+    a huge sentinel for invalid/padding rows). Serving paths call this
+    ONCE per DB so repeated queries skip the repack/transpose."""
     db_words = jnp.asarray(db_words, jnp.int32)
     m = db_words.shape[0]
     assert db_words.shape[1] == _WORDS, db_words.shape
-    valid = (jnp.ones((m,), jnp.int32) if db_valid is None
-             else jnp.asarray(db_valid).astype(jnp.int32))
+    popdb = jnp.sum(_popcount32(db_words), axis=1, dtype=jnp.int32)
+    if db_valid is not None:
+        popdb = jnp.where(jnp.asarray(db_valid), popdb,
+                          jnp.int32(_VPOP_INVALID))
     m_pad = (-m) % db_block
     if m_pad:
         db_words = jnp.pad(db_words, ((0, m_pad), (0, 0)))
-        valid = jnp.pad(valid, (0, m_pad))
+        popdb = jnp.pad(popdb, (0, m_pad),
+                        constant_values=_VPOP_INVALID)
     nm = (m + m_pad) // db_block
     dbw_t = db_words.reshape(nm, db_block, _WORDS).transpose(0, 2, 1)
     # [nm, 1, BM]: the unit middle axis keeps the last-two block dims
     # equal to the array dims (a Mosaic block-shape requirement).
-    return dbw_t, valid.reshape(nm, 1, db_block)
+    return dbw_t, popdb.reshape(nm, 1, db_block)
+
+
+# Past this many padded queries the sweep variant's [nq, TQ, 128]
+# accumulator scratch would crowd VMEM; fall back to the tile variant.
+_SWEEP_MAX_Q = 16384
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "q_tile", "db_block", "mxu", "interpret"))
-def knn2_fused(q_bits, db_words, db_valid=None, *, q_tile: int = 512,
+    "q_tile", "db_block", "mxu", "variant", "interpret"))
+def knn2_fused(q_bits, db_words, db_valid=None, *, q_tile: int = 256,
                db_block: int = 4096, mxu: str = "int8",
-               interpret: bool = False):
+               variant: str = "auto", interpret: bool = False):
     """Fused-kernel (d0, d1, i0): drop-in for `ops.match.knn2` semantics.
 
     q_bits:   int8 {0,1} [Q, 512] unpacked query bits.
     db_words: int32 [M, 16] packed words (`pack_words`), little-endian —
-              OR a pre-laid-out (blocks, valid) pair from
+              OR a pre-laid-out (blocks, vpop) pair from
               `layout_db_blocks` (then db_valid must be None).
     db_valid: optional bool [M]; invalid rows never match.
+    variant:  "sweep" (DB-block-outer, unpack amortized — default on
+              the auto path), "tile" (query-outer), "auto".
 
     Returns (d0 f32 [Q], d1 f32 [Q], i0 int32 [Q]) with the same
     sentinel/tie-break semantics as knn2/knn2_blockwise.
 
-    Defaults (q_tile=512, db_block=4096) are the measured v5e operating
-    point: 10.8 ms / 2048×1M pass = 198 G cmp/s, 5.6× the XLA scan
-    (sweep in benchmarks/exp_r3l_pallas_match.py; PERF.md "Large-DB
-    matching").
+    Defaults are the measured v5e operating point (sweep in
+    benchmarks/exp_r3l_pallas_match.py; PERF.md "Large-DB matching").
     """
     q_bits = jnp.asarray(q_bits, jnp.int8)
     q, bwidth = q_bits.shape
@@ -191,11 +270,11 @@ def knn2_fused(q_bits, db_words, db_valid=None, *, q_tile: int = 512,
 
     if isinstance(db_words, tuple):
         assert db_valid is None, "validity is baked into the layout"
-        dbw_t, valid_b = db_words
+        dbw_t, vpop = db_words
         assert dbw_t.shape[1] == _WORDS and dbw_t.shape[2] == db_block
     else:
-        dbw_t, valid_b = layout_db_blocks(db_words, db_valid,
-                                          db_block=db_block)
+        dbw_t, vpop = layout_db_blocks(db_words, db_valid,
+                                       db_block=db_block)
     nm = dbw_t.shape[0]
 
     q_pad = (-q) % q_tile
@@ -204,27 +283,47 @@ def knn2_fused(q_bits, db_words, db_valid=None, *, q_tile: int = 512,
     qp = q + q_pad
     nq = qp // q_tile
 
+    if variant == "auto":
+        variant = "sweep" if (qp <= _SWEEP_MAX_Q and db_block <= 8192) \
+            else "tile"
+
     mxu_dtype = {"int8": jnp.int8, "bf16": jnp.bfloat16,
                  "f32": jnp.float32}[mxu]
-    kern = functools.partial(_kernel, block_m=db_block, mxu_dtype=mxu_dtype)
+
+    if variant == "sweep":
+        assert db_block <= 8192, "keyed reduction needs BM <= 8192"
+        kern = functools.partial(_kernel_sweep, block_m=db_block,
+                                 mxu_dtype=mxu_dtype)
+        grid = (nm, nq)
+        qmap = lambda j, i: (i, 0)          # noqa: E731
+        dmap = lambda j, i: (j, 0, 0)       # noqa: E731
+        scratch = [pltpu.VMEM((nq, q_tile, 128), jnp.int32),
+                   pltpu.VMEM((DESC_BITS_PADDED, db_block), jnp.int8)]
+    else:
+        kern = functools.partial(_kernel_tile, block_m=db_block,
+                                 mxu_dtype=mxu_dtype)
+        grid = (nq, nm)
+        qmap = lambda i, j: (i, 0)          # noqa: E731
+        dmap = lambda i, j: (j, 0, 0)       # noqa: E731
+        scratch = [pltpu.VMEM((q_tile, 128), jnp.int32)]
 
     out = pl.pallas_call(
         kern,
-        grid=(nq, nm),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((q_tile, DESC_BITS_PADDED), lambda i, j: (i, 0),
+            pl.BlockSpec((q_tile, DESC_BITS_PADDED), qmap,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _WORDS, db_block), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((1, _WORDS, db_block), dmap,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, db_block), lambda i, j: (j, 0, 0),
+            pl.BlockSpec((1, 1, db_block), dmap,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((q_tile, 128), lambda i, j: (i, 0),
+        out_specs=pl.BlockSpec((q_tile, 128), qmap,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((qp, 128), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((q_tile, 128), jnp.int32)],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(q_bits, dbw_t, valid_b)
+    )(q_bits, dbw_t, vpop)
 
     out = out[:q]
     popq = jnp.sum(q_bits[:q].astype(jnp.int32), axis=-1)

@@ -40,7 +40,14 @@ from cubesat_apds_tpu.store.feature_store import FeatureStore
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class DeviceDb:
-    """Device-resident descriptor DB block (one LoD)."""
+    """Device-resident descriptor DB block (one LoD).
+
+    `match_layout` optionally holds the fused match kernel's
+    pre-computed block layout (ops.pallas.match_kernel.layout_db_blocks)
+    so repeated frames against a big DB skip the per-call repack —
+    serving paths (Localizer, load_device_db on TPU) populate it once
+    per DB. None on small DBs / non-TPU backends.
+    """
 
     descriptors: jax.Array   # [M, 61] uint8
     xy: jax.Array            # [M, 2] float32 — reference-frame coords
@@ -48,10 +55,27 @@ class DeviceDb:
     obj_points: jax.Array    # [M, 3] float32 — ECEF (zeros if no elevation)
     has_world: bool = dataclasses.field(metadata=dict(static=True),
                                         default=False)
+    match_layout: Optional[tuple] = None
+
+
+def _maybe_match_layout(desc, valid, match_config) -> Optional[tuple]:
+    """Pre-compute the fused kernel's DB layout when the big-DB fused
+    path would be taken for this DB (TPU backend, M past db_block,
+    kernel not forced to the scan)."""
+    if match_config is None:
+        from cubesat_apds_tpu.core.config import MatchConfig
+        match_config = MatchConfig()
+    if (match_config.kernel == "scan"
+            or desc.shape[0] <= match_config.db_block
+            or jax.default_backend() != "tpu"):
+        return None
+    from cubesat_apds_tpu.ops.pallas.match_kernel import (
+        layout_db_blocks, pack_words)
+    return jax.jit(layout_db_blocks)(pack_words(desc), jnp.asarray(valid))
 
 
 def load_device_db(store, lod: int = 0,
-                   pad_multiple: int = 2048) -> DeviceDb:
+                   pad_multiple: int = 2048, match_config=None) -> DeviceDb:
     """Export one LoD of the store to device arrays, with ECEF world
     coordinates precomputed when elevation data is present.
 
@@ -66,12 +90,15 @@ def load_device_db(store, lod: int = 0,
         obj = np.where(valid[:, None], obj, 0.0).astype(np.float32)
     else:
         obj = np.zeros((len(xy), 3), np.float32)
+    desc = jnp.asarray(desc)
+    valid = jnp.asarray(valid)
     return DeviceDb(
-        descriptors=jnp.asarray(desc),
+        descriptors=desc,
         xy=jnp.asarray(xy),
-        valid=jnp.asarray(valid),
+        valid=valid,
         obj_points=jnp.asarray(obj),
         has_world=has_world,
+        match_layout=_maybe_match_layout(desc, valid, match_config),
     )
 
 
@@ -104,7 +131,7 @@ def localize_frame_jit(frame, db: DeviceDb, camera: CameraModel,
     matches = knn_match(
         feats.descriptors, db.descriptors, ratio=config.match.ratio,
         q_valid=kp.valid, db_valid=db.valid, block=config.match.db_block,
-        kernel=config.match.kernel)
+        kernel=config.match.kernel, db_layout=db.match_layout)
 
     q_pts, t_pts = matched_points(kp.xy, db.xy, matches)
     homog = find_homography_ransac(q_pts, t_pts, valid=matches.valid,
@@ -179,7 +206,7 @@ def localize_frame(frame, store: FeatureStore, camera: CameraModel,
     """Convenience host wrapper: export DB (cached by caller ideally) and
     run the jitted pipeline."""
     check_descriptor_mode(store, config)
-    db = load_device_db(store, lod)
+    db = load_device_db(store, lod, match_config=config.match)
     if solve_pose is None:
         solve_pose = db.has_world
     return localize_frame_jit(jnp.asarray(frame, jnp.float32), db, camera,
@@ -209,7 +236,8 @@ class Localizer:
     def device_db(self, lod: int = 0) -> DeviceDb:
         if lod not in self._dbs:
             self._dbs[lod] = load_device_db(self.store, lod,
-                                            self.pad_multiple)
+                                            self.pad_multiple,
+                                            self.config.match)
         return self._dbs[lod]
 
     def localize(self, frame, lod: int = 0,
@@ -255,7 +283,8 @@ def localize_coarse_to_fine(frame, store, camera: CameraModel,
         # this once (load_device_db(store, coarse_lod)) and pass it in —
         # a fresh export + upload per frame costs ~RTT+transfer each on
         # remote-attached TPUs.
-        coarse_db = load_device_db(store, coarse_lod, pad_multiple)
+        coarse_db = load_device_db(store, coarse_lod, pad_multiple,
+                                   config.match)
     if solve_pose is None:
         solve_pose = coarse_db.has_world
     coarse = localize_frame_jit(frame, coarse_db, camera, config, False)
@@ -274,7 +303,8 @@ def localize_coarse_to_fine(frame, store, camera: CameraModel,
 
     if not bool(coarse.homography.ok):
         # No coarse fix — fall back to the full LoD-0 DB.
-        fine_db = load_device_db(store, lods[0], pad_multiple)
+        fine_db = load_device_db(store, lods[0], pad_multiple,
+                                  config.match)
         fine = localize_frame_jit(frame, fine_db, camera, config,
                                   solve_pose)
         return fine, coarse, None

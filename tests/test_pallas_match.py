@@ -36,17 +36,22 @@ def test_pack_words_roundtrip_bit_order(rng):
     assert np.array_equal(bits_words.reshape(16, 512), bits_ref)
 
 
-def test_fused_matches_knn2_exact(rng):
+VARIANTS = ("sweep", "tile")
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_fused_matches_knn2_exact(rng, variant):
     q = rng.integers(0, 256, (96, 61), dtype=np.uint8)
     db = rng.integers(0, 256, (3000, 61), dtype=np.uint8)
     qb = unpack_bits(q)
     ref = knn2(qb, unpack_bits(db))
     got = knn2_fused(qb, pack_words(db), q_tile=32, db_block=256,
-                     interpret=True)
+                     variant=variant, interpret=True)
     _assert_knn_equal(ref, got)
 
 
-def test_fused_validity_and_ragged(rng):
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_fused_validity_and_ragged(rng, variant):
     """Masked rows never match; ragged Q/M pad internally."""
     q = rng.integers(0, 256, (70, 61), dtype=np.uint8)        # 70 % 32 != 0
     db = rng.integers(0, 256, (1234, 61), dtype=np.uint8)     # ragged M
@@ -54,13 +59,14 @@ def test_fused_validity_and_ragged(rng):
     qb = unpack_bits(q)
     ref = knn2(qb, unpack_bits(db), db_valid=jnp.asarray(dv))
     got = knn2_fused(qb, pack_words(db), jnp.asarray(dv), q_tile=32,
-                     db_block=256, interpret=True)
+                     db_block=256, variant=variant, interpret=True)
     _assert_knn_equal(ref, got)
     # Winners must come from valid rows only.
     assert dv[np.asarray(got[2])].all()
 
 
-def test_fused_tie_break_lowest_index(rng):
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_fused_tie_break_lowest_index(rng, variant):
     """Duplicate DB rows: best index is the LOWEST matching index and the
     duplicate remains eligible as second-best (OpenCV semantics)."""
     q = rng.integers(0, 256, (8, 61), dtype=np.uint8)
@@ -71,13 +77,14 @@ def test_fused_tie_break_lowest_index(rng):
     qb = unpack_bits(q)
     ref = knn2(qb, unpack_bits(db))
     got = knn2_fused(qb, pack_words(db), q_tile=8, db_block=128,
-                     interpret=True)
+                     variant=variant, interpret=True)
     _assert_knn_equal(ref, got)
     d0, d1, i0 = (np.asarray(x) for x in got)
     assert i0[0] == 137 and d0[0] == 0.0 and d1[0] == 0.0
 
 
-def test_fused_matches_blockwise_packed(rng):
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_fused_matches_blockwise_packed(rng, variant):
     """Same results as the production packed-DB scan path."""
     q = rng.integers(0, 256, (64, 61), dtype=np.uint8)
     db = rng.integers(0, 256, (5000, 61), dtype=np.uint8)
@@ -85,18 +92,57 @@ def test_fused_matches_blockwise_packed(rng):
     qb = unpack_bits(q)
     ref = knn2_blockwise(qb, jnp.asarray(db), 1024, jnp.asarray(dv))
     got = knn2_fused(qb, pack_words(db), jnp.asarray(dv), q_tile=32,
-                     db_block=512, interpret=True)
+                     db_block=512, variant=variant, interpret=True)
     _assert_knn_equal(ref, got)
 
 
-def test_fused_all_invalid_db(rng):
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_fused_all_invalid_db(rng, variant):
     q = rng.integers(0, 256, (16, 61), dtype=np.uint8)
     db = rng.integers(0, 256, (300, 61), dtype=np.uint8)
     dv = np.zeros(300, bool)
     got = knn2_fused(unpack_bits(q), pack_words(db), jnp.asarray(dv),
-                     q_tile=16, db_block=128, interpret=True)
+                     q_tile=16, db_block=128, variant=variant,
+                     interpret=True)
     d0, d1, i0 = (np.asarray(x) for x in got)
     assert (d0 > 1e30).all() and (d1 > 1e30).all() and (i0 == 0).all()
+
+
+def test_fused_prelaid_layout_reuse(rng):
+    """A layout from layout_db_blocks (the once-per-DB serving form)
+    gives the same results as the words form."""
+    from cubesat_apds_tpu.ops.pallas.match_kernel import layout_db_blocks
+
+    q = rng.integers(0, 256, (32, 61), dtype=np.uint8)
+    db = rng.integers(0, 256, (900, 61), dtype=np.uint8)
+    dv = rng.random(900) > 0.2
+    qb = unpack_bits(q)
+    words = pack_words(db)
+    ref = knn2_fused(qb, words, jnp.asarray(dv), q_tile=32, db_block=256,
+                     interpret=True)
+    layout = layout_db_blocks(words, jnp.asarray(dv), db_block=256)
+    got = knn2_fused(qb, layout, q_tile=32, db_block=256, interpret=True)
+    _assert_knn_equal(ref, got)
+
+
+def test_knn_match_prelaid_layout(rng):
+    """knn_match(db_layout=...) (the DeviceDb serving form) returns the
+    same Matches as the layout-free fused path."""
+    from cubesat_apds_tpu.ops.match import knn_match
+    from cubesat_apds_tpu.ops.pallas.match_kernel import layout_db_blocks
+
+    q = rng.integers(0, 256, (32, 61), dtype=np.uint8)
+    db = rng.integers(0, 256, (5000, 61), dtype=np.uint8)
+    dv = np.ones(5000, bool); dv[::5] = False
+    kw = dict(ratio=0.9, db_valid=jnp.asarray(dv), block=1024,
+              kernel="fused")
+    ref = knn_match(q, db, **kw)
+    layout = layout_db_blocks(pack_words(db), jnp.asarray(dv))
+    got = knn_match(q, db, db_layout=layout, **kw)
+    for name in ("query_idx", "train_idx", "distance", "valid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, name)), np.asarray(getattr(got, name)),
+            name)
 
 
 def test_knn_match_fused_kernel_selection(rng):
