@@ -57,8 +57,10 @@ _BIG = jnp.int32(1 << 29)                # invalid-rowdist threshold
 # Invalid rows carry vpop = _BIG + 1024 so rowdist = vpop − 2·dot stays
 # ≥ _BIG for any dot ∈ [0, 512] while valid rowdist is ≤ 512.
 _VPOP_INVALID = (1 << 29) + 1024
-_INVALID_DIST = jnp.float32(3.0e38)      # matches ops.match._INVALID_DIST
-_KEY_MAX = jnp.int32(2**31 - 1)
+# NB: no module-level jnp scalar constants here — a device constant
+# traced under one shard_map Manual mesh caches that mesh in its aval
+# and poisons later traces under a different mesh; kernels and wrapper
+# build their sentinels locally (3.0e38 matches ops.match._INVALID_DIST).
 
 
 def pack_words(db_packed):
@@ -328,6 +330,12 @@ def knn2_fused(q_bits, db_words, db_valid=None, *, q_tile: int = 256,
     out = out[:q]
     popq = jnp.sum(q_bits[:q].astype(jnp.int32), axis=-1)
     r0, r1, i0 = out[:, 0], out[:, 1], out[:, 2]
-    d0 = jnp.where(r0 >= _BIG, _INVALID_DIST, (r0 + popq).astype(jnp.float32))
-    d1 = jnp.where(r1 >= _BIG, _INVALID_DIST, (r1 + popq).astype(jnp.float32))
+    # Python-literal constants, NOT the module-level jnp scalars: a
+    # device constant traced under one shard_map Manual mesh carries
+    # that mesh in its cached aval and poisons later traces under a
+    # DIFFERENT mesh ("context mesh should match the aval mesh").
+    big = 1 << 29
+    invalid = jnp.float32(3.0e38)
+    d0 = jnp.where(r0 >= big, invalid, (r0 + popq).astype(jnp.float32))
+    d1 = jnp.where(r1 >= big, invalid, (r1 + popq).astype(jnp.float32))
     return d0, d1, i0

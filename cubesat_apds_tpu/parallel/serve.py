@@ -65,6 +65,43 @@ def shard_device_db(mesh, db: DeviceDb, pad_to_multiple: bool = True
     )
 
 
+def _fused_match_step(mesh, config, q_desc, q_valid, db: DeviceDb):
+    """Big-DB mesh match: per-chip fused Pallas kNN-2 over its PACKED
+    tp shard (ops.pallas.match_kernel — the DB never unpacks to the 8×
+    bit form in HBM) + the O(Q·tp) ICI top-2 merge, with the frame axis
+    staying dp-sharded. All dp rows of one tp column flatten into ONE
+    kernel launch per chip. Off-TPU the kernel runs in interpreter mode
+    (CPU-mesh equivalence tests)."""
+    from cubesat_apds_tpu.ops.match import _ratio_matches
+    from cubesat_apds_tpu.ops.pallas.match_kernel import (
+        knn2_fused, pack_words)
+    from cubesat_apds_tpu.parallel.sharded_match import _merge_partials
+
+    interpret = jax.devices()[0].platform != "tpu"
+    _, q_cap, _ = q_desc.shape
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("dp"), P("tp"), P("tp")),
+        out_specs=(P("dp"), P("dp"), P("dp")),
+        check_vma=False,
+    )
+    def inner(qd, db_local, valid_local):
+        lb = qd.shape[0]
+        qb = unpack_bits(qd).reshape(lb * q_cap, -1).astype(jnp.int8)
+        d0, d1, i0 = knn2_fused(qb, pack_words(db_local), valid_local,
+                                interpret=interpret)
+        d0, d1, i0 = _merge_partials(d0, d1, i0, db_local.shape[0], "tp")
+        return (d0.reshape(lb, q_cap), d1.reshape(lb, q_cap),
+                i0.reshape(lb, q_cap))
+
+    d0, d1, i0 = inner(q_desc, db.descriptors, db.valid)
+    d0 = jnp.where(q_valid, d0, jnp.float32(3.0e38))
+    return jax.vmap(
+        lambda a, b, c: _ratio_matches(a, b, c, config.match.ratio)
+    )(d0, d1, i0)
+
+
 def make_batch_localizer(mesh, camera: CameraModel,
                          config: PipelineConfig = PipelineConfig(),
                          solve_pose: Optional[bool] = None):
@@ -74,6 +111,11 @@ def make_batch_localizer(mesh, camera: CameraModel,
     num_matches [B], num_keypoints [B]); frames [B, H, W] with B
     divisible by the dp axis; db from shard_device_db(mesh, ...).
     `pose` is a batched PoseSolution pytree (leaves lead with B).
+
+    Matching: DBs whose per-chip shard stays big run the fused Pallas
+    kNN-2 kernel per shard (packed, shard_map + ICI merge); small DBs
+    take the GSPMD unpacked-matmul path. `config.match.kernel` forces
+    either ("fused"/"scan").
     """
 
     @jax.jit
@@ -84,24 +126,33 @@ def make_batch_localizer(mesh, camera: CameraModel,
             functools.partial(detect_and_compute, config=config.akaze))(frames)
         kp = feats.keypoints
 
-        db_bits = unpack_bits(db.descriptors)
-        db_bits = jax.lax.with_sharding_constraint(
-            db_bits, NamedSharding(mesh, P("tp")))
+        m_per_chip = max(db.descriptors.shape[0] // mesh.shape["tp"], 1)
+        on_tpu = jax.devices()[0].platform == "tpu"
+        use_fused = config.match.kernel == "fused" or (
+            config.match.kernel == "auto" and on_tpu
+            and m_per_chip > config.match.db_block)
 
-        # The tp-sharded DB cannot stream blockwise (dynamic slices
-        # along the sharded axis gather across chips); memory is
-        # bounded by chunking the replicated QUERY axis instead so
-        # [q_block, M/tp] per-chip distance tiles honour db_block.
-        m_per_chip = max(db_bits.shape[0] // mesh.shape["tp"], 1)
-        q_block = max(
-            (config.match.db_block * 2048) // m_per_chip, 128)
+        if use_fused:
+            matches = _fused_match_step(mesh, config, feats.descriptors,
+                                        kp.valid, db)
+        else:
+            db_bits = unpack_bits(db.descriptors)
+            db_bits = jax.lax.with_sharding_constraint(
+                db_bits, NamedSharding(mesh, P("tp")))
 
-        def match_one(desc, q_valid):
-            return knn_match_bits(
-                unpack_bits(desc), db_bits, ratio=config.match.ratio,
-                q_valid=q_valid, db_valid=db.valid, q_block=q_block)
+            # The tp-sharded DB cannot stream blockwise (dynamic slices
+            # along the sharded axis gather across chips); memory is
+            # bounded by chunking the replicated QUERY axis instead so
+            # [q_block, M/tp] per-chip distance tiles honour db_block.
+            q_block = max(
+                (config.match.db_block * 2048) // m_per_chip, 128)
 
-        matches = jax.vmap(match_one)(feats.descriptors, kp.valid)
+            def match_one(desc, q_valid):
+                return knn_match_bits(
+                    unpack_bits(desc), db_bits, ratio=config.match.ratio,
+                    q_valid=q_valid, db_valid=db.valid, q_block=q_block)
+
+            matches = jax.vmap(match_one)(feats.descriptors, kp.valid)
 
         def homog_one(kxy, m):
             q, t = matched_points(kxy, db.xy, m)

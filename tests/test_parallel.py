@@ -262,3 +262,50 @@ def test_sharded_fused_kernel_matches_blockwise(rng):
     got2 = [np.asarray(x) for x in scan(qb, dbj, vj)]
     for g, g2 in zip(got, got2):
         np.testing.assert_array_equal(g, g2)
+
+
+def test_batch_localizer_fused_matches_scan(rng):
+    """The serve step with the fused per-shard kernel (interpreter mode
+    off-TPU) must agree with the GSPMD unpacked-matmul path — same
+    matches, same homographies — on a dp=2 × tp=4 mesh."""
+    from cubesat_apds_tpu.core.config import (
+        AkazeConfig, MatchConfig, PipelineConfig, RansacConfig)
+    from cubesat_apds_tpu.core.types import CameraModel
+    from cubesat_apds_tpu.parallel.serve import (
+        make_batch_localizer, shard_device_db)
+    from cubesat_apds_tpu.pipelines.localize import DeviceDb
+
+    cam = CameraModel.ideal(100.0, 100.0, 64.0, 64.0)
+    base = np.zeros((128, 128), np.float32)
+    for _ in range(25):
+        cy, cx = rng.integers(5, 100, 2)
+        s = int(rng.integers(8, 20))
+        base[cy:cy + s, cx:cx + s] = rng.uniform(0.3, 1.0)
+    frames = jnp.asarray(
+        np.stack([np.roll(base, i, axis=1) for i in range(4)]))
+
+    m = 1000   # deliberately NOT a tp multiple (pad path)
+    db = DeviceDb(
+        descriptors=jnp.asarray(_rand_desc(rng, m)),
+        xy=jnp.asarray(rng.uniform(0, 128, (m, 2)).astype(np.float32)),
+        valid=jnp.ones(m, bool),
+        obj_points=jnp.zeros((m, 3), jnp.float32), has_world=False)
+
+    mesh = make_mesh(dp=2, tp=4)
+    db_sh = shard_device_db(mesh, db)
+    outs = {}
+    for kernel in ("scan", "fused"):
+        cfg = PipelineConfig(
+            akaze=AkazeConfig(capacity=256),
+            match=MatchConfig(ratio=0.75, kernel=kernel),
+            ransac=RansacConfig(num_hypotheses=64))
+        step = make_batch_localizer(mesh, cam, cfg, solve_pose=False)
+        with jax.set_mesh(mesh):
+            outs[kernel] = step(frames, db_sh)
+
+    (h_s, _, nm_s, nk_s), (h_f, _, nm_f, nk_f) = outs["scan"], outs["fused"]
+    np.testing.assert_array_equal(np.asarray(nm_s), np.asarray(nm_f))
+    np.testing.assert_array_equal(np.asarray(nk_s), np.asarray(nk_f))
+    np.testing.assert_array_equal(np.asarray(h_s.ok), np.asarray(h_f.ok))
+    np.testing.assert_allclose(np.asarray(h_s.H), np.asarray(h_f.H),
+                               atol=1e-5)
