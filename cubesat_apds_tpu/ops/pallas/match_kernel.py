@@ -243,6 +243,13 @@ def layout_db_blocks(db_words, db_valid=None, *, db_block: int = 4096):
 # Past this many padded queries the sweep variant's [nq, TQ, 128]
 # accumulator scratch would crowd VMEM; fall back to the tile variant.
 _SWEEP_MAX_Q = 16384
+# The sweep kernel materializes TWO [TQ, BM] int32 planes (rowdist +
+# keyed reduction) in VMEM; past 2^20 elements (8 MB for the pair) the
+# Mosaic compiler runs out of VMEM (measured on v5e: qt=512/bm=4096 and
+# qt=256/bm=8192 both fail to compile; qt=256/bm=4096 — the default and
+# the fastest measured point, 216 G cmp/s — fits). Auto falls back to
+# the tile variant (one plane, three-pass min) above this product.
+_SWEEP_MAX_TILE_ELEMS = 1 << 20
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -286,8 +293,9 @@ def knn2_fused(q_bits, db_words, db_valid=None, *, q_tile: int = 256,
     nq = qp // q_tile
 
     if variant == "auto":
-        variant = "sweep" if (qp <= _SWEEP_MAX_Q and db_block <= 8192) \
-            else "tile"
+        variant = "sweep" if (qp <= _SWEEP_MAX_Q and db_block <= 8192
+                              and q_tile * db_block
+                              <= _SWEEP_MAX_TILE_ELEMS) else "tile"
 
     mxu_dtype = {"int8": jnp.int8, "bf16": jnp.bfloat16,
                  "f32": jnp.float32}[mxu]

@@ -162,3 +162,28 @@ def test_knn_match_fused_kernel_selection(rng):
         np.testing.assert_array_equal(
             np.asarray(getattr(ref, name)), np.asarray(getattr(got, name)),
             name)
+
+
+def test_auto_variant_vmem_guard(rng, monkeypatch):
+    """variant="auto" must not pick "sweep" past the measured Mosaic VMEM
+    bound (qt*bm > 2^20 elements — the sweep kernel holds two [TQ, BM]
+    int32 planes; qt=512/bm=4096 fails to compile on v5e)."""
+    import cubesat_apds_tpu.ops.pallas.match_kernel as mk
+
+    picked = {}
+    orig = mk.pl.pallas_call
+
+    def spy(kern, **kw):
+        picked["grid"] = kw["grid"]
+        return orig(kern, **kw)
+
+    monkeypatch.setattr(mk.pl, "pallas_call", spy)
+    q = jnp.asarray(rng.integers(0, 2, (64, 512)), jnp.int8)
+    db = pack_words(rng.integers(0, 256, (8192, 61), dtype=np.uint8))
+
+    # Default point (256*4096 = 2^20): sweep → grid = (nm, nq) = (2, 1).
+    knn2_fused(q, db, interpret=True)
+    assert picked["grid"] == (2, 1)
+    # Oversized point (512*4096 > 2^20): falls back to tile → (nq, nm).
+    knn2_fused(q, db, q_tile=512, interpret=True)
+    assert picked["grid"] == (1, 2)
