@@ -24,9 +24,20 @@ Measurement methodology (tunneled-TPU hardened, round 2):
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
+
+_T0 = time.time()
+
+
+def _note(msg):
+    """Phase progress to STDERR (stdout carries only the JSON line) —
+    through a slow relay the compile phases can take minutes; a silent
+    process is indistinguishable from a hung tunnel without these."""
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def _make_frame(rng, n=512):
@@ -43,12 +54,21 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from cubesat_apds_tpu.cli import _enable_compile_cache
+
+    # Same persistent-executable cache the CLI uses (~/.cache/apds_tpu/
+    # xla): a bench retry — or the driver's round-end run after this
+    # one — skips the 20-80 s-per-program remote compiles. No-op when
+    # a caller forced CPU (the axon-site serializer crash, cli.py).
+    _enable_compile_cache()
+
     from cubesat_apds_tpu.core.config import (
         AkazeConfig, MatchConfig, PipelineConfig, PnPConfig, RansacConfig)
     from cubesat_apds_tpu.core.types import CameraModel
     from cubesat_apds_tpu.ops.features.akaze import detect_and_compute
     from cubesat_apds_tpu.pipelines.localize import DeviceDb, localize_frame_jit
 
+    _note(f"imports done; devices={jax.devices()}")
     rng = np.random.default_rng(42)
     config = PipelineConfig(
         akaze=AkazeConfig(capacity=2048),
@@ -62,6 +82,7 @@ def main():
     # Build a realistic 10k-descriptor DB: extract from a shifted variant
     # so matching does real work, pad to 10240.
     db_src = np.roll(np.asarray(frame), (7, 13), axis=(0, 1))
+    _note("compiling+running detect_and_compute for the DB build")
     feats = detect_and_compute(jnp.asarray(db_src),
                                AkazeConfig(capacity=2048))
     desc = np.asarray(feats.descriptors)
@@ -106,7 +127,9 @@ def main():
             acc = o if acc is None else acc + o
         return float(acc)          # forces every iteration
 
+    _note("compiling localize_frame_jit (warmup x3)")
     run(3, entropy + 10_000.0)     # compile + warmup
+    _note("warmup done; measuring RTT")
 
     # Median host-fetch round trip (subtracted from the loop time).
     rtts = []
@@ -117,10 +140,12 @@ def main():
     rtt = float(np.median(rtts))
 
     iters = 200
+    _note(f"timed loop: {iters} iterations (rtt={rtt * 1e3:.0f} ms)")
     t0 = time.perf_counter()
     run(iters, entropy)
     dt = time.perf_counter() - t0 - rtt
     fps = iters / dt
+    _note(f"done: {dt * 1e3:.1f} ms for {iters} iters")
 
     print(json.dumps({
         "metric": "e2e_localize_512px_10kdb_fps",
