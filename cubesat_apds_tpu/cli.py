@@ -59,10 +59,17 @@ def _open_store(path: str):
     """Open either store backend by its on-disk signature."""
     import os
 
+    import json
+
     if not os.path.exists(os.path.join(path, "manifest.json")):
         raise SystemExit(f"no feature store at {path!r} (missing "
                          "manifest.json — build one with `preprocess`)")
-    if os.path.exists(os.path.join(path, "order.npy")):
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    # Binary manifests carry "segments" (v2) or a flat row count "n"
+    # (v1); npz FeatureStore manifests carry neither. (Detection used to
+    # key on order.npy existing, but mutations rename it per epoch.)
+    if "segments" in manifest or "n" in manifest:
         from cubesat_apds_tpu.store.binary_store import BinaryFeatureStore
 
         return BinaryFeatureStore(path)
@@ -168,8 +175,10 @@ def _cmd_preprocess(args):
     else:
         ds = MosaicDataset.from_folder(args.dataset)
         if args.materialize:
-            ds.materialize(args.materialize)
-            print(f"materialized mosaic -> {args.materialize}")
+            ds.materialize(args.materialize,
+                           format=getattr(args, "mosaic_format", "npy"))
+            print(f"materialized mosaic -> {args.materialize} "
+                  f"({getattr(args, 'mosaic_format', 'npy')})")
     if args.calculate_lod:
         # --calculate-lod mode prints the LoD resolutions and exits
         # (preprocessor main.rs:74-84 + print_resolution).
@@ -672,6 +681,10 @@ def main(argv=None):
     src.add_argument("--mosaic", help="materialized mosaic to resume from")
     pp.add_argument("--store", required=True, help="output store directory")
     pp.add_argument("--materialize", help="persist the mosaic here")
+    pp.add_argument("--mosaic-format", choices=("npy", "cog"),
+                    default="npy",
+                    help="materialized artifact: npy (memmap dir) or an "
+                         "interoperable cloud-optimized GeoTIFF")
     pp.add_argument("-l", "--lod", type=int, default=0,
                     help="LoD levels (0 = auto, like --calculate-lod)")
     pp.add_argument("--calculate-lod", action="store_true")
