@@ -405,14 +405,58 @@ class MosaicDataset:
 
     # ---- materialization (COG equivalent, mod.rs:141-164) --------------
 
-    def materialize(self, path: str, chunk_rows: int = 1024):
-        """Persist the full mosaic as a binary artifact + manifest — the
-        restart point that DatasetPath::Mosaic resumes from.
+    class _CogSource:
+        """Raster-access adapter streaming mosaic windows to write_cog."""
 
-        Writes row chunks into a preallocated memmap (never the whole
-        mosaic in RAM — peak memory is O(chunk_rows·width·bands), the
-        out-of-RAM ingestion path of VERDICT item 4)."""
+        def __init__(self, ds: "MosaicDataset"):
+            self._ds = ds
+            self.width, self.height = ds.width, ds.height
+            self.n_bands = ds.n_bands
+
+        def read_bands_window(self, band_idxs, y0, y1, x0, x1):
+            return self._ds.read_window(
+                x0, y0, x1 - x0, y1 - y0,
+                bands=[b + 1 for b in band_idxs])
+
+    def materialize(self, path: str, chunk_rows: int = 1024,
+                    format: str = "npy"):
+        """Persist the full mosaic as a restartable artifact — the
+        resume point that DatasetPath::Mosaic reopens (main.rs:54-66).
+
+        format="npy" (default): memory-mapped mosaic.npy + manifest.
+        format="cog": an INTEROPERABLE cloud-optimized GeoTIFF
+        (mosaic.tif — tiled, deflate+predictor, overviews, geo tags;
+        io/cog.py), the artifact the reference materializes via GDAL's
+        COG driver (mod.rs:141-164, creation opts mod.rs:380-400). Any
+        GDAL/QGIS install can open it; from_materialized reopens it
+        with windowed native decode.
+
+        Both stream row/tile chunks — peak memory is O(chunk·width·
+        bands), never the whole mosaic (out-of-RAM ingestion)."""
+        if format not in ("npy", "cog"):
+            raise ValueError(f"unknown materialize format {format!r}")
         os.makedirs(path, exist_ok=True)
+        if format == "cog":
+            from cubesat_apds_tpu.io.cog import write_cog
+
+            mm = self.datasets_min_max()
+            write_cog(os.path.join(path, "mosaic.tif"),
+                      self._CogSource(self), self.geotransform,
+                      nodata="nan",
+                      epsg=getattr(self.members[0], "epsg", None))
+            manifest = {
+                "version": 1,
+                "format": "cog",
+                "width": self.width,
+                "height": self.height,
+                "n_bands": self.n_bands,
+                "geotransform": self.geotransform.tolist(),
+                "mins": mm.mins.tolist(),
+                "maxs": mm.maxs.tolist(),
+            }
+            with open(os.path.join(path, "manifest.json"), "w") as f:
+                json.dump(manifest, f)
+            return
         out = np.lib.format.open_memmap(
             os.path.join(path, "mosaic.npy"), mode="w+", dtype=np.float32,
             shape=(self.n_bands, self.height, self.width))
@@ -439,16 +483,32 @@ class MosaicDataset:
     @classmethod
     def from_materialized(cls, path: str) -> "MosaicDataset":
         """import_mosaic_dataset (mod.rs:279-288): reopen a materialized
-        mosaic without re-reading the member rasters."""
+        mosaic without re-reading the member rasters.
+
+        Accepts the npy artifact, the COG artifact (manifest
+        format="cog"), or a BARE GeoTIFF/COG file path — so mosaics
+        produced by GDAL itself (the reference's own artifact) drop in.
+        """
+        if os.path.isfile(path):  # bare .tif from any producer
+            from cubesat_apds_tpu.io.tiff import read_geotiff_lazy
+
+            return cls([read_geotiff_lazy(path)])
         with open(os.path.join(path, "manifest.json")) as f:
             manifest = json.load(f)
+        mm = BandsMinMax(
+            mins=np.asarray(manifest["mins"], np.float32),
+            maxs=np.asarray(manifest["maxs"], np.float32))
+        if manifest.get("format") == "cog":
+            from cubesat_apds_tpu.io.tiff import read_geotiff_lazy
+
+            ds = cls([read_geotiff_lazy(os.path.join(path, "mosaic.tif"))])
+            ds._minmax = mm
+            return ds
         bands = np.load(os.path.join(path, "mosaic.npy"), mmap_mode="r")
         raster = GeoRaster(
             bands=bands,
             geotransform=np.asarray(manifest["geotransform"], np.float64),
             epsg=None, nodata=None, path=path)
         ds = cls([raster])
-        ds._minmax = BandsMinMax(
-            mins=np.asarray(manifest["mins"], np.float32),
-            maxs=np.asarray(manifest["maxs"], np.float32))
+        ds._minmax = mm
         return ds

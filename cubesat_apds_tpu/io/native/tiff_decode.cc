@@ -5,9 +5,10 @@
 // geotiff_extractor reads via GDAL C FFI; our PIL fallback is
 // single-threaded Python). Scope: classic TIFF (not BigTIFF), both
 // endiannesses, strips or tiles, compression none(1) / zlib deflate
-// (8, 32946), horizontal differencing predictor(2), uint8/uint16/float32,
-// contiguous (chunky) sample layout. Anything else → caller falls back
-// to PIL (the wrapper checks tiff_supported()).
+// (8, 32946), horizontal differencing predictor(2), floating-point
+// predictor(3, TIFF TechNote 3 — what io/cog.py writes for f32),
+// uint8/uint16/float32, contiguous (chunky) sample layout. Anything
+// else → caller falls back to PIL (the wrapper checks tiff_supported()).
 //
 // Build: g++ -O3 -march=native -shared -fPIC tiff_decode.cc -o libtiff_decode.so -lz -lpthread
 
@@ -127,7 +128,9 @@ bool supported(const Tiff& t) {
   if (t.planar != 1) return false;
   if (t.compression != 1 && t.compression != 8 && t.compression != 32946)
     return false;
-  if (t.predictor != 1 && t.predictor != 2) return false;
+  if (t.predictor != 1 && t.predictor != 2 && t.predictor != 3)
+    return false;
+  if (t.predictor == 3 && t.bits != 32) return false;  // fp predictor
   if (!(t.bits == 8 || t.bits == 16 || t.bits == 32)) return false;
   if (t.bits == 32 && t.sample_format != 3) return false;  // f32 only
   return true;
@@ -202,8 +205,28 @@ bool decode_chunk(const Tiff& t, size_t idx, uint8_t* dst,
         size_t n16 = row_bytes / 2;
         for (size_t i = t.samples; i < n16; ++i) r16[i] += r16[i - t.samples];
       } else {
-        return false;  // float predictor(3) not supported; pred2+f32 odd
+        return false;  // pred2 + f32 is nonstandard; f32 uses pred3
       }
+    }
+    data = pred.data();
+  } else if (t.predictor == 3) {
+    // Floating-point predictor (TIFF TechNote 3, mirrors libtiff fpAcc
+    // and io/cog.py's _predict3): per row, byte-wise horizontal
+    // accumulation with stride = samples, then reassemble each value
+    // from its MSB-first byte planes. The plane order fixes byte
+    // significance, so the output is host-endian regardless of the
+    // file's byte-order flag (no post-swap needed).
+    pred.assign(data, data + row_bytes * rows);
+    swapped_in_pred = true;  // suppress the f32 swap below
+    size_t wc = size_t(cols) * t.samples;  // values per row
+    std::vector<uint8_t> tmp(row_bytes);
+    for (uint32_t y = 0; y < rows; ++y) {
+      uint8_t* row = pred.data() + y * row_bytes;
+      for (size_t i = t.samples; i < row_bytes; ++i) row[i] += row[i - t.samples];
+      std::memcpy(tmp.data(), row, row_bytes);
+      for (size_t v = 0; v < wc; ++v)
+        for (size_t b = 0; b < 4; ++b)
+          row[4 * v + b] = tmp[(3 - b) * wc + v];  // LE host
     }
     data = pred.data();
   }
@@ -226,7 +249,7 @@ bool decode_chunk(const Tiff& t, size_t idx, uint8_t* dst,
       for (size_t i = 0; i < size_t(copy_cols) * t.samples; ++i)
         row[i] = __builtin_bswap16(row[i]);
     }
-  } else if (t.r.swap && t.bits == 32) {
+  } else if (t.r.swap && t.bits == 32 && !swapped_in_pred) {
     for (uint32_t y = iy0; y < iy1; ++y) {
       uint32_t* row = reinterpret_cast<uint32_t*>(
           dst + (size_t(y - wy0) * ww + (ix0 - wx0)) * bpp);

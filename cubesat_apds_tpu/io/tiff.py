@@ -35,6 +35,60 @@ _TAG_GDAL_NODATA = 42113
 VALID_EXTENSIONS = (".tif", ".tiff")
 
 
+def _read_tags(path: str) -> dict:
+    """First-IFD tag dict: PIL's tag_v2 when PIL can identify the file,
+    else a minimal pure-Python IFD walk.
+
+    PIL refuses files whose pixel layout has no PIL mode (e.g. the
+    multiband float32 COGs io/cog.py writes — no reader has an RGB-float
+    mode), but the geo TAGS are still plain TIFF; this fallback keeps
+    read_geotiff/LazyGeoRaster self-sufficient for everything the
+    native decoder can decode.
+    """
+    import struct
+
+    try:
+        with Image.open(path) as im:
+            return dict(im.tag_v2) if hasattr(im, "tag_v2") else {}
+    except Exception:
+        pass
+    tags: dict = {}
+    try:
+        with open(path, "rb") as f:
+            head = f.read(8)
+            if len(head) < 8 or head[:2] not in (b"II", b"MM"):
+                return tags
+            bo = "<" if head[:2] == b"II" else ">"
+            if struct.unpack(bo + "H", head[2:4])[0] != 42:
+                return tags
+            ifd = struct.unpack(bo + "I", head[4:8])[0]
+            f.seek(ifd)
+            n = struct.unpack(bo + "H", f.read(2))[0]
+            entries = f.read(12 * n)
+            sizes = {1: 1, 2: 1, 3: 2, 4: 4, 11: 4, 12: 8}
+            fmts = {1: "B", 2: "s", 3: "H", 4: "I", 11: "f", 12: "d"}
+            for i in range(n):
+                tag, ty, cnt = struct.unpack(
+                    bo + "HHI", entries[12 * i:12 * i + 8])
+                if ty not in sizes:
+                    continue
+                total = sizes[ty] * cnt
+                raw = entries[12 * i + 8:12 * i + 12]
+                if total > 4:
+                    off = struct.unpack(bo + "I", raw)[0]
+                    f.seek(off)
+                    raw = f.read(total)
+                if ty == 2:
+                    tags[tag] = raw[:cnt].split(b"\0")[0].decode(
+                        "ascii", "replace")
+                else:
+                    tags[tag] = struct.unpack(
+                        bo + fmts[ty] * cnt, raw[:total])
+    except OSError:
+        pass
+    return tags
+
+
 @dataclasses.dataclass
 class GeoRaster:
     """One decoded raster: bands [C, H, W] float32 (NaN = nodata) + geo."""
@@ -107,8 +161,7 @@ class LazyGeoRaster:
                  n_threads: int = 8):
         from cubesat_apds_tpu.io.native import NativeTiff
 
-        with Image.open(path) as im:
-            tags = dict(im.tag_v2) if hasattr(im, "tag_v2") else {}
+        tags = _read_tags(path)
         self._tif = NativeTiff(path, n_threads)   # raises if unsupported
         self.path = path
         self.geotransform = _geotransform_from_tags(tags)
@@ -236,10 +289,10 @@ def read_geotiff(path: str, apply_nodata: bool = True) -> GeoRaster:
     """
     from cubesat_apds_tpu.io.native import read_tiff_native
 
-    with Image.open(path) as im:
-        tags = dict(im.tag_v2) if hasattr(im, "tag_v2") else {}
-        arr = read_tiff_native(path)
-        if arr is None:
+    tags = _read_tags(path)
+    arr = read_tiff_native(path)
+    if arr is None:
+        with Image.open(path) as im:
             arr = np.asarray(im)
     if arr.ndim == 2:
         arr = arr[None]

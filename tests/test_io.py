@@ -406,3 +406,120 @@ def test_lazy_multiband_single_decode(tmp_path, rng):
     out = lazy.read_bands_window((0, 1, 2), 5, 60, 7, 80)
     assert out.shape == (3, 55, 73)
     assert len(calls) == 1          # one decode for three bands
+
+
+# ---- COG writer (io/cog.py — the interoperable mosaic artifact,
+# reference geotiff mod.rs:141-164,380-400) -------------------------------
+
+
+def test_cog_roundtrip_float32(tmp_path, rng):
+    """write_cog → read_geotiff: bit-exact pixels + geotransform + EPSG
+    + nodata through tiling, deflate, and the float predictor (3)."""
+    from cubesat_apds_tpu.io.cog import write_cog
+
+    bands = rng.uniform(-50, 1000, (3, 700, 900)).astype(np.float32)
+    bands[:, 5:20, 5:20] = np.nan
+    gt = [10.0, 0.001, 0.0, 56.0, 0.0, -0.001]
+    p = str(tmp_path / "m.tif")
+    write_cog(p, bands, gt, nodata="nan", epsg=4326)
+    r = read_geotiff(p)
+    np.testing.assert_array_equal(r.bands, bands)
+    np.testing.assert_allclose(r.geotransform, gt)
+    assert r.epsg == 4326
+    assert np.isnan(r.nodata)
+
+
+def test_cog_roundtrip_uint8_and_pil_opens(tmp_path, rng):
+    """uint8 RGB COG (predictor 2): our reader AND stock PIL both
+    decode it bit-exactly — the interoperability claim."""
+    from PIL import Image
+
+    from cubesat_apds_tpu.io.cog import write_cog
+
+    b8 = rng.integers(0, 256, (3, 513, 1025), np.uint8)  # ragged tiles
+    gt = [10.0, 0.001, 0.0, 56.0, 0.0, -0.001]
+    p = str(tmp_path / "m8.tif")
+    write_cog(p, b8, gt, epsg=32633)
+    r = read_geotiff(p)
+    np.testing.assert_array_equal(r.bands, b8.astype(np.float32))
+    assert r.epsg == 32633
+    with Image.open(p) as im:
+        np.testing.assert_array_equal(
+            np.moveaxis(np.asarray(im), -1, 0), b8)
+        # reduced-resolution overview IFDs are chained behind the main one
+        assert getattr(im, "n_frames", 1) >= 2
+
+
+def test_cog_pil_opens_single_band_float(tmp_path, rng):
+    from PIL import Image
+
+    from cubesat_apds_tpu.io.cog import write_cog
+
+    b1 = rng.uniform(-5, 5, (1, 300, 300)).astype(np.float32)
+    p = str(tmp_path / "f1.tif")
+    write_cog(p, b1, [0, 1, 0, 0, 0, 1])
+    with Image.open(p) as im:
+        np.testing.assert_array_equal(np.asarray(im), b1[0])
+
+
+def test_cog_native_windowed_read(tmp_path, rng):
+    """The native decoder streams windows from the COG (predictor-3
+    tiles decoded without touching the rest of the file)."""
+    from cubesat_apds_tpu.io.cog import write_cog
+    from cubesat_apds_tpu.io.tiff import read_geotiff_lazy
+
+    bands = rng.uniform(0, 100, (2, 800, 640)).astype(np.float32)
+    p = str(tmp_path / "w.tif")
+    write_cog(p, bands, [0, 1, 0, 0, 0, 1])
+    lz = read_geotiff_lazy(p)
+    assert type(lz).__name__ == "LazyGeoRaster"
+    np.testing.assert_array_equal(
+        lz.read_bands_window((0, 1), 100, 300, 200, 600),
+        bands[:, 100:300, 200:600])
+
+
+def test_materialize_cog_resume(tmp_path, rng):
+    """materialize(format='cog') → from_materialized: window reads and
+    min/max equal to the live mosaic (resume semantics), and the
+    artifact is one standard .tif + manifest."""
+    import os
+
+    _write_tile(tmp_path / "a.tif", rng, 10.0, 56.0, size=96)
+    _write_tile(tmp_path / "b.tif", rng, 10.0 + 96 * 0.001, 56.0, size=96)
+    ds = MosaicDataset.from_folder(str(tmp_path))
+    out = str(tmp_path / "mat")
+    ds.materialize(out, format="cog")
+    assert os.path.exists(os.path.join(out, "mosaic.tif"))
+    ds2 = MosaicDataset.from_materialized(out)
+    np.testing.assert_allclose(ds2.geotransform, ds.geotransform)
+    w1 = ds.read_window(10, 10, 150, 80)
+    w2 = ds2.read_window(10, 10, 150, 80)
+    np.testing.assert_array_equal(w1, w2)
+    mm1, mm2 = ds.datasets_min_max(), ds2.datasets_min_max()
+    np.testing.assert_allclose(mm1.mins, mm2.mins)
+    np.testing.assert_allclose(mm1.maxs, mm2.maxs)
+
+
+def test_from_materialized_accepts_bare_tif(tmp_path, rng):
+    """A bare GeoTIFF path (e.g. a GDAL-produced COG) opens directly."""
+    from cubesat_apds_tpu.io.cog import write_cog
+
+    bands = rng.uniform(0, 255, (3, 200, 260)).astype(np.float32)
+    gt = [10.0, 0.001, 0.0, 56.0, 0.0, -0.001]
+    p = str(tmp_path / "bare.tif")
+    write_cog(p, bands, gt)
+    ds = MosaicDataset.from_materialized(p)
+    np.testing.assert_allclose(ds.geotransform, gt)
+    np.testing.assert_array_equal(
+        ds.read_window(0, 0, 260, 200, bands=(1, 2, 3)), bands)
+
+
+def test_cog_classic_size_guard(tmp_path, rng, monkeypatch):
+    """>4 GB output raises the documented BigTIFF-unimplemented error
+    instead of writing corrupt 32-bit offsets."""
+    import cubesat_apds_tpu.io.cog as cog
+
+    monkeypatch.setattr(cog, "_CLASSIC_LIMIT", 1000)
+    bands = rng.integers(0, 256, (1, 600, 600), np.uint8)
+    with pytest.raises(ValueError, match="BigTIFF"):
+        cog.write_cog(str(tmp_path / "big.tif"), bands, [0, 1, 0, 0, 0, 1])
