@@ -119,6 +119,47 @@ def dlt_homography_solve(src, dst, weights=None):
     return H / jnp.where(jnp.abs(scale) < 1e-12, 1e-12, scale)
 
 
+def _sample_nondegenerate(p4):
+    """[..., 4, 2] minimal samples → [...] bool: all four points
+    distinct and no three collinear.
+
+    The guard RANSAC needs against many-to-one match clusters: when
+    dozens of queries ratio-match ONE train row (low-entropy or
+    adversarial DBs), minimal samples drawing ≥2 cluster members are
+    exactly degenerate — duplicate points are bit-identical (d² = 0)
+    and triples through ≤2 distinct locations have exactly-zero cross
+    products, so tiny absolute thresholds are reliable. A rank-deficient
+    H fit through such a sample collapses the plane onto the cluster
+    point and scores every cluster match as a zero-error inlier, which
+    no forward-transfer or f32-determinant check can reject (det of a
+    large-entry rank-1 matrix drowns in cancellation noise)."""
+    diff = p4[..., :, None, :] - p4[..., None, :, :]      # [..., 4, 4, 2]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    eye = jnp.eye(4, dtype=bool)
+    distinct = jnp.all(jnp.where(eye, 1.0, d2) > 1e-9, axis=(-2, -1))
+    spread = jnp.maximum(jnp.max(d2, axis=(-2, -1)), 1e-12)
+
+    def cross(i, j, k):
+        a = p4[..., j, :] - p4[..., i, :]
+        b = p4[..., k, :] - p4[..., i, :]
+        return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+
+    noncol = jnp.ones(p4.shape[:-2], bool)
+    for (i, j, k) in ((0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)):
+        noncol &= jnp.abs(cross(i, j, k)) > 1e-7 * spread
+    return distinct & noncol
+
+
+def _det3(H):
+    """Closed-form [..., 3, 3] determinant (jnp.linalg.det would lower
+    to an LU custom-call on TPU — expensive at these sizes, see
+    ops/geometry/linalg_small.py)."""
+    a, b, c = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]
+    d, e, f = H[..., 1, 0], H[..., 1, 1], H[..., 1, 2]
+    g, h, i = H[..., 2, 0], H[..., 2, 1], H[..., 2, 2]
+    return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+
 def symmetric_transfer_error(H, src, dst):
     """Forward reprojection error ||H·src − dst||² per point [..., N]."""
     from cubesat_apds_tpu.ops.warp import apply_homography
@@ -199,6 +240,15 @@ def find_homography_ransac(src, dst, valid=None, config: RansacConfig = RansacCo
     # --- Score all hypotheses against all points. ---
     err = symmetric_transfer_error(Hs, src[None], dst[None])  # [H, N]
     finite = jnp.all(jnp.isfinite(Hs.reshape(Hs.shape[0], -1)), axis=-1)
+    # Degeneracy guards: a rank-deficient H collapses the plane to a
+    # line/point with ZERO forward error on a many-to-one match cluster,
+    # outscoring the true model (observed live against a synthetic 1M
+    # DB). Collapse hypotheses come from degenerate minimal samples —
+    # reject those exactly (_sample_nondegenerate) — and the |det|
+    # check catches residual near-singular fits (det is scale-sensitive
+    # in f32, so the sample check is the primary guard).
+    finite &= _sample_nondegenerate(s4) & _sample_nondegenerate(d4)
+    finite &= jnp.abs(_det3(Hs)) > 1e-6
     if method == "lmeds":
         # Median squared error over valid points; inlier gate from the
         # robust scale estimate (OpenCV LMeDS: 2.5·σ, σ = 1.4826·√med).
@@ -207,16 +257,20 @@ def find_homography_ransac(src, dst, valid=None, config: RansacConfig = RansacCo
         med = jnp.nanquantile(err_v, 0.5, axis=-1, method="nearest")
         med = jnp.where(jnp.isfinite(med), med, big)
         best = jnp.argmin(jnp.where(finite, med, big))
+        hyp_ok = finite[best]
         thr2 = (2.5 * 1.4826) ** 2 * jnp.maximum(med[best], 1e-12)
-        inliers = (err[best] < thr2) & valid
+        inliers = (err[best] < thr2) & valid & hyp_ok
         H_best = Hs[best]
     else:
         thr2 = config.reproj_threshold**2
         inl = (err < thr2) & valid[None, :]
         scores = jnp.where(finite, jnp.sum(inl, axis=-1), -1)
         best = jnp.argmax(scores)
+        # Every hypothesis degenerate → fail closed: no inliers, no
+        # refinement seed, ok=False below.
+        hyp_ok = scores[best] >= 0
         H_best = Hs[best]
-        inliers = inl[best]
+        inliers = inl[best] & hyp_ok
 
     # --- Refinement: masked DLT on the inlier set, re-derive inliers. ---
     def refine(_, carry):
@@ -226,7 +280,8 @@ def find_homography_ransac(src, dst, valid=None, config: RansacConfig = RansacCo
         err_new = symmetric_transfer_error(H_new, src, dst)
         inl_new = (err_new < thr2) & valid
         better = jnp.sum(inl_new) >= jnp.sum(inl_cur)
-        ok_new = jnp.all(jnp.isfinite(H_new)) & better
+        ok_new = jnp.all(jnp.isfinite(H_new)) & better & hyp_ok \
+            & (jnp.abs(_det3(H_new)) > 1e-6)
         return (jnp.where(ok_new, H_new, H_cur), jnp.where(ok_new, inl_new, inl_cur))
 
     # Unrolled (refine_iters is small + static): lax.fori_loop pays a
@@ -236,5 +291,7 @@ def find_homography_ransac(src, dst, valid=None, config: RansacConfig = RansacCo
         carry = refine(0, carry)
     H_best, inliers = carry
     num_inl = jnp.sum(inliers.astype(jnp.int32))
-    ok = (num_valid >= 4) & (num_inl >= 4) & jnp.all(jnp.isfinite(H_best))
+    ok = (num_valid >= 4) & (num_inl >= 4) & hyp_ok \
+        & jnp.all(jnp.isfinite(H_best)) \
+        & (jnp.abs(_det3(H_best)) > 1e-6)
     return HomographyResult(H=H_best, inliers=inliers, num_inliers=num_inl, ok=ok)

@@ -181,3 +181,40 @@ def test_undistort_frames_batch(rng):
     frames = jnp.asarray(rng.uniform(0, 1, (3, 32, 32)).astype(np.float32))
     out = np.asarray(undistort_frames(frames, cam))
     np.testing.assert_allclose(out, np.asarray(frames), atol=1e-5)
+
+
+def test_ransac_rejects_many_to_one_collapse(rng):
+    """Many queries matched to ONE train point (a low-entropy or
+    adversarial DB produces 'attractor' rows): a rank-deficient H that
+    maps the whole plane onto that point has ZERO forward transfer
+    error on the entire cluster and used to outscore the true model.
+    The determinant guard must reject collapse hypotheses and recover
+    the true transform from the honest subset (found live: the 1M-row
+    synthetic serving DB drove the coarse fix to H=[[0,0,tx],[0,0,ty],
+    [0,0,1]] with 58 'inliers')."""
+    n = 100
+    src = rng.uniform(0, 512, (n, 2)).astype(np.float32)
+    dst = np.empty_like(src)
+    dst[:50] = src[:50] + np.array([30.0, -12.0], np.float32)
+    dst[50:] = np.array([449.0, 22.0], np.float32)   # collapse attractor
+    res = find_homography_ransac(
+        src, dst, config=RansacConfig(num_hypotheses=256))
+    assert bool(res.ok)
+    np.testing.assert_allclose(
+        np.asarray(res.H),
+        np.array([[1, 0, 30], [0, 1, -12], [0, 0, 1.0]]), atol=1e-2)
+    inl = np.asarray(res.inliers)
+    assert inl[:50].sum() >= 45
+    assert inl[50:].sum() == 0
+
+
+def test_ransac_all_collapsed_returns_not_ok(rng):
+    """When EVERY correspondence hits one target point there is no valid
+    homography; the guard must fail closed (ok=False), not emit the
+    zero-determinant collapse."""
+    n = 64
+    src = rng.uniform(0, 512, (n, 2)).astype(np.float32)
+    dst = np.tile(np.array([[100.0, 200.0]], np.float32), (n, 1))
+    res = find_homography_ransac(
+        src, dst, config=RansacConfig(num_hypotheses=128))
+    assert not bool(res.ok)
