@@ -148,6 +148,44 @@ def _adaptive_orient_describe(packed, level_hw, combined,
     return go(packed, level_hw, combined, xy, size, class_id, octave, valid)
 
 
+def _prepare(img, config: AkazeConfig, capacity: int, kcontrast):
+    """Front end shared by single and batched extraction: scale space →
+    detection → channel-packed sampling stacks (+ the fast/hybrid
+    blur-matched stacks). Returns (kps, packed, combined, level_hw,
+    scale-space) — everything the per-keypoint back end needs."""
+    img = jnp.asarray(img, jnp.float32)
+    ss = build_scale_space(img, config, kcontrast)
+    kps, lx_list, ly_list = detect_keypoints(ss, config, capacity)
+    packed = _packed_stack(ss.Lt, lx_list, ly_list)
+    level_hw = jnp.asarray(
+        [[a.shape[0], a.shape[1]] for a in ss.Lt], jnp.int32)
+    if config.descriptor_mode in ("fast", "hybrid"):
+        from cubesat_apds_tpu.ops.features.mldb import approx_blur_sigmas_fn
+        from cubesat_apds_tpu.ops.resample import gaussian_blur
+
+        sigmas_fn = approx_blur_sigmas_fn(config)
+        # Per-grid-level blur-matched pyramids: each level has ONE static
+        # scale s, so the matched σ per (level, grid) is static too.
+        # (Lt, Lx, Ly) are blurred together as one [3, h, w] batch of
+        # DIRECT shift-add blurs (a down-blur-up multiscale variant
+        # measured SLOWER on v5e — PERF.md round 2).
+        base3 = [jnp.stack([ss.Lt[i], lx_list[i], ly_list[i]])
+                 for i in range(len(ss.Lt))]
+        grid_stacks = []
+        for g in range(3):
+            blurred = [
+                gaussian_blur(base3[i], sigmas_fn(m.sigma_size)[g])
+                for i, m in enumerate(ss.meta)
+            ]
+            grid_stacks.append(_packed_stack(
+                [b[0] for b in blurred], [b[1] for b in blurred],
+                [b[2] for b in blurred]))
+        combined = jnp.concatenate(grid_stacks, axis=0)  # [3L, H, W, 4]
+    else:
+        combined = packed               # unused by the exact descriptor
+    return kps, packed, combined, level_hw, ss
+
+
 @functools.partial(jax.jit, static_argnames=("config", "capacity"))
 def detect_and_compute(img, config: AkazeConfig = AkazeConfig(),
                        capacity: int | None = None,
@@ -160,14 +198,8 @@ def detect_and_compute(img, config: AkazeConfig = AkazeConfig(),
     optionally fixes the diffusion contrast factor (tiled path).
     """
     capacity = capacity or config.capacity
-    img = jnp.asarray(img, jnp.float32)
-
-    ss = build_scale_space(img, config, kcontrast)
-    kps, lx_list, ly_list = detect_keypoints(ss, config, capacity)
-
-    packed = _packed_stack(ss.Lt, lx_list, ly_list)
-    level_hw = jnp.asarray(
-        [[a.shape[0], a.shape[1]] for a in ss.Lt], jnp.int32)
+    kps, packed, combined, level_hw, ss = _prepare(img, config, capacity,
+                                                   kcontrast)
 
     sample_fn = None
     sampler = config.sampler
@@ -198,37 +230,6 @@ def detect_and_compute(img, config: AkazeConfig = AkazeConfig(),
         def sample_fn(iy, ix):
             return sample_patches(patches, iy, ix, row0, col0,
                                   level_hw, lvl)
-
-    if config.descriptor_mode in ("fast", "hybrid"):
-        from cubesat_apds_tpu.ops.features.mldb import approx_blur_sigmas_fn
-
-        from cubesat_apds_tpu.ops.resample import gaussian_blur
-
-        sigmas_fn = approx_blur_sigmas_fn(config)
-
-        # Per-grid-level blur-matched pyramids: each level has ONE static
-        # scale s, so the matched σ per (level, grid) is static too.
-        # (Lt, Lx, Ly) are blurred together as one [3, h, w] batch of
-        # DIRECT shift-add blurs. (A multiscale down-blur-up variant —
-        # resample.gaussian_blur_ms — was measured SLOWER end-to-end on
-        # v5e: the interleave/reshape ops at small coarse levels are
-        # latency-bound, while big fused shift-add chains stream on the
-        # VPU. See PERF.md round 2.)
-        base3 = [jnp.stack([ss.Lt[i], lx_list[i], ly_list[i]])
-                 for i in range(len(ss.Lt))]
-        grid_stacks = []
-        for g in range(3):
-            blurred = [
-                gaussian_blur(base3[i],
-                              sigmas_fn(m.sigma_size)[g])
-                for i, m in enumerate(ss.meta)
-            ]
-            grid_stacks.append(_packed_stack(
-                [b[0] for b in blurred], [b[1] for b in blurred],
-                [b[2] for b in blurred]))
-        combined = jnp.concatenate(grid_stacks, axis=0)  # [3L, H, W, 4]
-    else:
-        combined = packed               # unused by the exact descriptor
 
     buckets = _bucket_sizes(capacity, config.adaptive_buckets)
     if sample_fn is None and len(buckets) > 1:
@@ -262,15 +263,79 @@ def detect_and_compute(img, config: AkazeConfig = AkazeConfig(),
     return Features(keypoints=kps, descriptors=desc)
 
 
+def _adaptive_orient_describe_batched(packed, level_hw, combined,
+                                      kps: Keypoints,
+                                      config: AkazeConfig, buckets: tuple):
+    """Batch-level capacity ladder (VERDICT r3 weak #3 / next #5).
+
+    The per-image ladder (_adaptive_orient_describe) must revert to full
+    capacity under vmap — a switch inside the batched trace would run
+    every branch. Hoisting ONE switch OUTSIDE the vmap fixes it: the
+    rung is picked from the batch's MAX live count (processing a
+    response-sorted valid prefix of K ≥ count slots is exact, so the
+    shared rung is bit-identical to per-image full capacity for every
+    image in the batch), and each branch vmaps the per-keypoint stages
+    over the batch at its sliced capacity. Tile batches that fill a
+    fraction of their capacity stop paying full-capacity gathers.
+    """
+    capacity = kps.xy.shape[1]
+    count = jnp.max(jnp.sum(kps.valid, axis=1))
+    idx = sum((count > b).astype(jnp.int32) for b in buckets[:-1])
+
+    def make(kb):
+        def branch(packed, combined, xy, size, class_id, octave, valid):
+            a, d = jax.vmap(
+                lambda p, c, x, s, ci, o, v: _orient_describe(
+                    p, level_hw, c, x, s, ci, o, v, config)
+            )(packed, combined, xy[:, :kb], size[:, :kb],
+              class_id[:, :kb], octave[:, :kb], valid[:, :kb])
+            pad = capacity - kb
+            return (jnp.pad(a, ((0, 0), (0, pad))),
+                    jnp.pad(d, ((0, 0), (0, pad), (0, 0))))
+        return branch
+
+    return jax.lax.switch(idx, [make(b) for b in buckets],
+                          packed, combined, kps.xy, kps.size,
+                          kps.class_id, kps.octave, kps.valid)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "capacity"))
 def detect_and_compute_batch(imgs, config: AkazeConfig = AkazeConfig(),
                              capacity: int | None = None,
                              kcontrast=None) -> Features:
-    """vmapped detect_and_compute over a batch of same-shape images
-    (the preprocessor's tile batch; replaces the reference's rayon
-    fan-out, preprocessor main.rs:227-245)."""
-    fn = functools.partial(detect_and_compute, config=config,
-                           capacity=capacity, kcontrast=kcontrast)
-    return jax.vmap(fn)(jnp.asarray(imgs, jnp.float32))
+    """Batched detect_and_compute over same-shape images (the
+    preprocessor's tile batch; replaces the reference's rayon fan-out,
+    preprocessor main.rs:227-245).
+
+    The front end (scale space, detection, stacks) vmaps; the
+    per-keypoint back end runs through the BATCH-LEVEL capacity ladder
+    (_adaptive_orient_describe_batched) so mostly-empty tiles don't pay
+    full-capacity gathers. Bit-identical to vmapped single-image calls.
+    Non-default samplers fall back to the plain vmapped path.
+    """
+    capacity = capacity or config.capacity
+    imgs = jnp.asarray(imgs, jnp.float32)
+    buckets = _bucket_sizes(capacity, config.adaptive_buckets)
+    if config.sampler != "gather" or len(buckets) <= 1:
+        fn = functools.partial(detect_and_compute, config=config,
+                               capacity=capacity, kcontrast=kcontrast)
+        return jax.vmap(fn)(imgs)
+
+    def front(img):
+        kps, packed, combined, level_hw, _ss = _prepare(
+            img, config, capacity, kcontrast)
+        return kps, packed, combined, level_hw
+
+    kps, packed, combined, level_hw_b = jax.vmap(front)(imgs)
+    level_hw = level_hw_b[0]  # static per-level shapes, identical rows
+
+    angle, desc = _adaptive_orient_describe_batched(
+        packed, level_hw, combined, kps, config, buckets)
+    return Features(
+        keypoints=Keypoints(
+            xy=kps.xy, size=kps.size, angle=angle, response=kps.response,
+            octave=kps.octave, class_id=kps.class_id, valid=kps.valid),
+        descriptors=desc)
 
 
 @functools.partial(jax.jit, static_argnames=("th", "tw"))

@@ -29,7 +29,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from cubesat_apds_tpu.core.config import PipelineConfig
 from cubesat_apds_tpu.core.types import CameraModel
-from cubesat_apds_tpu.ops.features.akaze import detect_and_compute
+from cubesat_apds_tpu.ops.features.akaze import detect_and_compute_batch
 from cubesat_apds_tpu.ops.geometry.homography import find_homography_ransac
 from cubesat_apds_tpu.ops.match import (
     knn_match_bits, matched_points, unpack_bits)
@@ -122,8 +122,10 @@ def make_batch_localizer(mesh, camera: CameraModel,
     def step(frames, db: DeviceDb):
         frames = jax.lax.with_sharding_constraint(
             frames, NamedSharding(mesh, P("dp")))
-        feats = jax.vmap(
-            functools.partial(detect_and_compute, config=config.akaze))(frames)
+        # Batched extraction with the batch-level capacity ladder (the
+        # rung-index max is a cross-dp all-reduce under GSPMD; every
+        # device then takes the same branch).
+        feats = detect_and_compute_batch(frames, config.akaze)
         kp = feats.keypoints
 
         m_per_chip = max(db.descriptors.shape[0] // mesh.shape["tp"], 1)

@@ -70,6 +70,30 @@ def _localize_packed(frame, db, camera, config, solve_pose):
                          r.pose)
 
 
+def _make_local_batch_step(db, camera, config, solve_pose):
+    """Single-device micro-batched packed step: extraction goes through
+    detect_and_compute_batch (batch-level capacity ladder — vmapping
+    the whole per-frame step would revert every per-keypoint gather to
+    full capacity), then the match+geometry back half vmaps."""
+    from cubesat_apds_tpu.ops.features.akaze import detect_and_compute_batch
+    from cubesat_apds_tpu.pipelines.localize import localize_from_features
+
+    @jax.jit
+    def step(frames):
+        if frames.dtype == jnp.uint8:
+            frames = frames.astype(jnp.float32) / 255.0
+        feats = detect_and_compute_batch(frames, config.akaze)
+
+        def one(f):
+            r = localize_from_features(f, db, camera, config, solve_pose)
+            return _pack_outputs(r.homography, r.num_matches,
+                                 r.num_keypoints, r.pose)
+
+        return jax.vmap(one)(feats)
+
+    return step
+
+
 def _make_packed_batch_step(mesh, camera, config, solve_pose):
     """Mesh-parallel batched packed step: frames [B, H, W] sharded over
     "dp", DB sharded over "tp" (via parallel.serve.shard_device_db) →
@@ -143,9 +167,8 @@ class StreamingLocalizer:
             self._batch_step = _make_packed_batch_step(
                 mesh, camera, config, solve_pose)
         elif self.batch > 1:
-            self._batch_step = jax.jit(jax.vmap(functools.partial(
-                _localize_packed, db=db, camera=camera, config=config,
-                solve_pose=solve_pose)))
+            self._batch_step = _make_local_batch_step(
+                db, camera, config, solve_pose)
         self.times = StageTimes()
 
     def _device_step(self, frame_dev):

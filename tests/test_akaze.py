@@ -490,3 +490,37 @@ def test_tiled_merge_refuses_int32_overflow():
     with pytest.raises(ValueError, match="int32 seam-dedup"):
         _tiled_merge(xy, zf, zf, zf, zi, zi, desc,
                      jnp.ones(4, bool), 50000, 50000, 4)
+
+
+def test_batched_ladder_equals_single(rng):
+    """detect_and_compute_batch's BATCH-LEVEL capacity ladder (one
+    switch outside the vmap, rung = batch max live count) must be
+    bit-exact vs per-image single calls — including a batch whose
+    images fill different fractions of the capacity (VERDICT r3 next
+    #5)."""
+    from cubesat_apds_tpu.ops.features.akaze import detect_and_compute_batch
+
+    rich = _corners_img(rng, n=256, k=24)
+    # Few keypoints, but RANDOM rectangles — a single perfect square has
+    # response-TIED corners, and approx_max_k's tie selection differs
+    # between vmapped and single lowerings (pre-existing, both batch
+    # implementations; unrelated to the ladder).
+    sparse = _corners_img(rng, n=256, k=3)
+    batch = np.stack([rich, sparse])
+    for mode in ("exact", "fast"):
+        cfg = AkazeConfig(capacity=1024, descriptor_mode=mode,
+                          adaptive_buckets=4)
+        fb = detect_and_compute_batch(batch, cfg)
+        for i, img in enumerate((rich, sparse)):
+            ref = detect_and_compute(img, cfg)
+            np.testing.assert_array_equal(
+                np.asarray(fb.keypoints.valid[i]),
+                np.asarray(ref.keypoints.valid), err_msg=f"mode={mode}")
+            np.testing.assert_array_equal(
+                np.asarray(fb.descriptors[i]), np.asarray(ref.descriptors),
+                err_msg=f"mode={mode}")
+            np.testing.assert_array_equal(
+                np.asarray(fb.keypoints.angle[i]),
+                np.asarray(ref.keypoints.angle), err_msg=f"mode={mode}")
+        counts = np.asarray(fb.keypoints.valid).sum(1)
+        assert counts[1] < counts[0] < 1024   # the rung was non-trivial
