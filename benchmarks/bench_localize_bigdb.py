@@ -10,6 +10,12 @@ big-DB matcher paths end-to-end:
   * kernel=fused  — fused Pallas kNN-2, layout repacked per frame
   * fused+layout  — fused kernel with the DeviceDb pre-laid-out block
                     layout (the Localizer serving path)
+  * pruned        — device-side spatial pruning (coarse fix → window →
+                    masked compaction → subset match; the store's
+                    bbox-per-LoD query run ON DEVICE,
+                    localize_frame_pruned_jit). Also reports the
+                    inlier-set agreement vs the full-DB match — the
+                    pruning must not cost accuracy.
 
 Uses bench.py's hardened measurement protocol (per-iteration salt +
 chained scalar fetch, RTT subtracted). The DB is synthesized ON DEVICE
@@ -38,7 +44,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--db-size", type=int, default=1 << 20)
     ap.add_argument("--iters", type=int, default=30)
-    ap.add_argument("--modes", default="scan,fused,fused+layout")
+    ap.add_argument("--modes", default="scan,fused,fused+layout,pruned")
+    ap.add_argument("--window-capacity", type=int, default=16384)
     args = ap.parse_args()
 
     import jax
@@ -129,8 +136,90 @@ def main():
             "fps": round(args.iters / dt, 2),
         }), flush=True)
 
+    def bench_pruned():
+        from cubesat_apds_tpu.pipelines.localize import (
+            localize_frame_pruned_jit, make_pruned_db)
+
+        config = PipelineConfig(
+            akaze=AkazeConfig(capacity=2048),
+            match=MatchConfig(ratio=0.75),
+            ransac=RansacConfig(num_hypotheses=256),
+            pnp=PnPConfig(num_hypotheses=64),
+        )
+        db = DeviceDb(descriptors=desc, xy=xy, valid=valid,
+                      obj_points=obj, has_world=True)
+        # Coarse DB = every 32nd row (the LoD-pyramid analogue for this
+        # synthetic DB: a 1/32 subsample that still covers the frame).
+        coarse = DeviceDb(descriptors=desc[::32], xy=xy[::32],
+                          valid=valid[::32], obj_points=obj[::32],
+                          has_world=True)
+        pdb = make_pruned_db(db, coarse, args.window_capacity)
+        jax.block_until_ready(pdb.rows)
+
+        @jax.jit
+        def step(f, salt):
+            r = localize_frame_pruned_jit(f + salt * jnp.float32(1e-7),
+                                          pdb, camera, config,
+                                          solve_pose=True)
+            return (r.result.homography.num_inliers
+                    + r.result.num_matches + r.result.pose.num_inliers
+                    + r.coarse_ok.astype(jnp.int32)).astype(jnp.float32)
+
+        entropy = np.float32(time.time() % 1000.0)
+
+        def run(iters, base):
+            acc = None
+            for i in range(iters):
+                o = step(frame, jnp.float32(base + i))
+                acc = o if acc is None else acc + o
+            return float(acc)
+
+        run(2, entropy + 10_000.0)          # compile + warmup
+        rtts = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            float(jnp.asarray(np.float32(i)) + jnp.float32(1))
+            rtts.append(time.perf_counter() - t0)
+        rtt = float(np.median(rtts))
+        t0 = time.perf_counter()
+        run(args.iters, entropy)
+        dt = time.perf_counter() - t0 - rtt
+
+        # Accuracy alongside (VERDICT: pruning must not cost accuracy):
+        # one un-salted pruned + full run, inlier sets by GLOBAL row id.
+        pr = localize_frame_pruned_jit(frame, pdb, camera, config,
+                                       solve_pose=True)
+        full_db = DeviceDb(descriptors=desc, xy=xy, valid=valid,
+                           obj_points=obj, has_world=True)
+        fu = localize_frame_jit(frame, full_db, camera, config,
+                                solve_pose=True)
+        sel = np.asarray(pr.sel)
+        p_m = np.asarray(pr.result.matches.valid) & \
+            np.asarray(pr.result.homography.inliers)
+        f_m = np.asarray(fu.matches.valid) & np.asarray(fu.homography.inliers)
+        p_ids = set(sel[np.asarray(pr.result.matches.train_idx)[p_m]].tolist())
+        f_ids = set(np.asarray(fu.matches.train_idx)[f_m].tolist())
+        jac = len(p_ids & f_ids) / max(len(p_ids | f_ids), 1)
+        print(json.dumps({
+            "bench": "localize_bigdb",
+            "mode": "pruned",
+            "db_size": m,
+            "window_capacity": args.window_capacity,
+            "ms_per_frame": round(dt / args.iters * 1e3, 2),
+            "fps": round(args.iters / dt, 2),
+            "coarse_ok": bool(pr.coarse_ok),
+            "n_window": int(pr.n_window),
+            "overflow": bool(pr.overflow),
+            "inlier_jaccard_vs_full": round(jac, 4),
+            "pruned_inliers": int(pr.result.homography.num_inliers),
+            "full_inliers": int(fu.homography.num_inliers),
+        }), flush=True)
+
     for mode in args.modes.split(","):
-        bench_mode(mode)
+        if mode == "pruned":
+            bench_pruned()
+        else:
+            bench_mode(mode)
 
 
 if __name__ == "__main__":

@@ -116,16 +116,12 @@ class LocalizationResult:
     matches: Optional[Matches] = None
 
 
-@functools.partial(jax.jit, static_argnames=("config", "solve_pose"))
-def localize_frame_jit(frame, db: DeviceDb, camera: CameraModel,
-                       config: PipelineConfig = PipelineConfig(),
-                       solve_pose: bool = False):
-    """frame [H, W] float32 grayscale → (homography, pose?, counters).
-
-    Fully on-device: AKAZE → kNN ratio match (MXU Hamming) → RANSAC
-    homography; optionally PnP-RANSAC against the DB's ECEF points.
-    """
-    feats = detect_and_compute(frame, config.akaze)
+def localize_from_features(feats, db: DeviceDb, camera: CameraModel,
+                           config: PipelineConfig,
+                           solve_pose: bool) -> LocalizationResult:
+    """Match + geometry on already-extracted features (the back half of
+    localize_frame_jit; batched paths extract with the batch-level
+    capacity ladder and vmap THIS)."""
     kp = feats.keypoints
 
     matches = knn_match(
@@ -150,6 +146,19 @@ def localize_frame_jit(frame, db: DeviceDb, camera: CameraModel,
         keypoints=kp,
         matches=matches,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("config", "solve_pose"))
+def localize_frame_jit(frame, db: DeviceDb, camera: CameraModel,
+                       config: PipelineConfig = PipelineConfig(),
+                       solve_pose: bool = False):
+    """frame [H, W] float32 grayscale → (homography, pose?, counters).
+
+    Fully on-device: AKAZE → kNN ratio match (MXU Hamming) → RANSAC
+    homography; optionally PnP-RANSAC against the DB's ECEF points.
+    """
+    feats = detect_and_compute(frame, config.akaze)
+    return localize_from_features(feats, db, camera, config, solve_pose)
 
 
 def _rmat(rvec):
@@ -247,6 +256,178 @@ class Localizer:
             solve_pose = db.has_world
         return localize_frame_jit(jnp.asarray(frame, jnp.float32), db,
                                   self.camera, self.config, solve_pose)
+
+
+# ---- device-side spatial pruning (serving-scale coarse→fine) ------------
+#
+# localize_coarse_to_fine (below) prunes through the HOST store — one
+# spatial query per frame, fine for a CLI one-shot but a ~RTT penalty per
+# frame on a remote-attached chip. The serving path does the same
+# LoD+bbox pruning (keypointdb.rs:67-90 semantics) entirely ON DEVICE:
+# the full LoD-0 DB stays resident, a coarse fix against a small DB
+# yields a reference-frame window, a masked compaction gathers only the
+# in-window rows (one gather of pre-packed 84-byte rows — gathers cost
+# per INDEX, not per byte, PERF.md "the gather wall"), and the fine
+# match runs on the windowed subset. One jitted step, no host round
+# trips; at 1M rows this replaces the ~10 ms full-DB match with a ~1 ms
+# prune + sub-ms subset match (VERDICT r3 weak #2 / next #2).
+
+_ROW_BYTES = 84  # 61 desc + 8 xy(f32) + 12 obj(f32) + 3 pad
+
+
+def _pack_prune_rows(desc, xy, obj):
+    """[M, 84] uint8 row table: one gather brings a row's descriptor,
+    reference-frame xy, and ECEF object point together."""
+    m = desc.shape[0]
+    xy_b = jax.lax.bitcast_convert_type(
+        xy.astype(jnp.float32), jnp.uint8).reshape(m, 8)
+    obj_b = jax.lax.bitcast_convert_type(
+        obj.astype(jnp.float32), jnp.uint8).reshape(m, 12)
+    pad = jnp.zeros((m, _ROW_BYTES - 61 - 8 - 12), jnp.uint8)
+    return jnp.concatenate([desc.astype(jnp.uint8), xy_b, obj_b, pad],
+                           axis=1)
+
+
+def _unpack_prune_rows(rows):
+    desc = rows[:, :61]
+    xy = jax.lax.bitcast_convert_type(
+        rows[:, 61:69].reshape(-1, 2, 4), jnp.float32)
+    obj = jax.lax.bitcast_convert_type(
+        rows[:, 69:81].reshape(-1, 3, 4), jnp.float32)
+    return desc, xy, obj
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PrunedDeviceDb:
+    """Serving DB with device-side spatial pruning state.
+
+    rows:  [M, 84] uint8 packed (desc | xy | obj) gather table
+    xy:    [M, 2] float32 — the window-mask scan column
+    valid: [M] bool
+    coarse: small DeviceDb (a coarser LoD, or any subsample covering the
+        reference frame) for the first-stage fix
+    """
+
+    rows: jax.Array
+    xy: jax.Array
+    valid: jax.Array
+    coarse: DeviceDb
+    window_capacity: int = dataclasses.field(metadata=dict(static=True),
+                                             default=16384)
+    has_world: bool = dataclasses.field(metadata=dict(static=True),
+                                        default=False)
+
+
+def make_pruned_db(db: DeviceDb, coarse: DeviceDb,
+                   window_capacity: int = 16384) -> PrunedDeviceDb:
+    """Build the pruning state from a resident full DB + coarse DB."""
+    rows = jax.jit(_pack_prune_rows)(db.descriptors, db.xy, db.obj_points)
+    return PrunedDeviceDb(rows=rows, xy=db.xy, valid=db.valid,
+                          coarse=coarse, window_capacity=window_capacity,
+                          has_world=db.has_world)
+
+
+def load_pruned_device_db(store, fine_lod: int = 0,
+                          coarse_lod: Optional[int] = None,
+                          window_capacity: int = 16384,
+                          pad_multiple: int = 2048,
+                          match_config=None) -> PrunedDeviceDb:
+    """Store → PrunedDeviceDb (fine LoD resident + coarse LoD fix DB)."""
+    images = store.images if hasattr(store, "images") else store._images
+    lods = sorted({r.level_of_detail for r in images.values()})
+    if coarse_lod is None:
+        coarse_lod = lods[-1]
+    fine = load_device_db(store, fine_lod, pad_multiple, match_config)
+    coarse = load_device_db(store, coarse_lod, pad_multiple, match_config)
+    return make_pruned_db(fine, coarse, window_capacity)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PrunedLocalizationResult:
+    result: LocalizationResult       # the fine-stage result
+    coarse_ok: jax.Array             # bool — coarse fix succeeded
+    window: jax.Array                # [4] f32 (x0, x1, y0, y1) ref frame
+    n_window: jax.Array              # int32 — rows inside the window
+    overflow: jax.Array              # bool — n_window > window_capacity
+    sel: jax.Array                   # [C] int32 global row ids (M = pad)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "solve_pose", "margin"))
+def localize_frame_pruned_jit(frame, pdb: PrunedDeviceDb,
+                              camera: CameraModel,
+                              config: PipelineConfig = PipelineConfig(),
+                              solve_pose: bool = False,
+                              margin: float = 0.25):
+    """One-dispatch pruned localization: detect ONCE, coarse fix,
+    device-side spatial window, fine match on the windowed subset.
+
+    When the coarse fix fails, `coarse_ok` is False and the fine result
+    is meaningless — callers fall back to the full-DB step (rare; the
+    coarse DB sees the whole reference frame). If more rows fall in the
+    window than `window_capacity`, `overflow` is set and the excess
+    rows are dropped in row order (raise the capacity or shrink the
+    margin; the fine result is still usually fine — dropped rows are
+    uniformly spread).
+    """
+    feats = detect_and_compute(frame, config.akaze)
+    kp = feats.keypoints
+
+    # Stage 1: coarse fix (small DB — single-block MXU match).
+    cm = knn_match(feats.descriptors, pdb.coarse.descriptors,
+                   ratio=config.match.ratio, q_valid=kp.valid,
+                   db_valid=pdb.coarse.valid, block=config.match.db_block,
+                   kernel=config.match.kernel)
+    cq, ct = matched_points(kp.xy, pdb.coarse.xy, cm)
+    coarse_h = find_homography_ransac(cq, ct, valid=cm.valid,
+                                      config=config.ransac)
+
+    # Reference-frame window = frame corners through the coarse H.
+    h, w = frame.shape
+    corners = jnp.array([[0.0, 0.0, 1.0], [w, 0.0, 1.0],
+                         [0.0, h, 1.0], [w, h, 1.0]], jnp.float32)
+    proj = corners @ coarse_h.H.T
+    pxy = proj[:, :2] / jnp.where(jnp.abs(proj[:, 2:3]) < 1e-9, 1e-9,
+                                  proj[:, 2:3])
+    lo = jnp.min(pxy, axis=0)
+    hi = jnp.max(pxy, axis=0)
+    pad = margin * (hi - lo)
+    lo = lo - pad
+    hi = hi + pad
+    window = jnp.stack([lo[0], hi[0], lo[1], hi[1]])
+
+    # Stage 2: masked compaction of in-window rows (the device analogue
+    # of read_keypoints_from_coordinates, keypointdb.rs:67-90).
+    inw = (pdb.valid
+           & (pdb.xy[:, 0] >= lo[0]) & (pdb.xy[:, 0] <= hi[0])
+           & (pdb.xy[:, 1] >= lo[1]) & (pdb.xy[:, 1] <= hi[1]))
+    m_total = pdb.rows.shape[0]
+    c = pdb.window_capacity
+    n_window = jnp.sum(inw.astype(jnp.int32))
+    sel = jnp.nonzero(inw, size=c, fill_value=m_total)[0].astype(jnp.int32)
+    sel_ok = sel < m_total
+    rows = pdb.rows[jnp.minimum(sel, m_total - 1)]
+    desc_s, xy_s, obj_s = _unpack_prune_rows(rows)
+
+    # Stage 3: fine match + geometry on the subset.
+    fm = knn_match(feats.descriptors, desc_s, ratio=config.match.ratio,
+                   q_valid=kp.valid, db_valid=sel_ok,
+                   block=config.match.db_block, kernel=config.match.kernel)
+    q_pts, t_pts = matched_points(kp.xy, xy_s, fm)
+    homog = find_homography_ransac(q_pts, t_pts, valid=fm.valid,
+                                   config=config.ransac)
+    pose = None
+    if solve_pose:
+        pose = solve_pose_recentered(obj_s, q_pts, fm, camera, config.pnp)
+
+    fine = LocalizationResult(
+        homography=homog, pose=pose, num_matches=fm.count(),
+        num_keypoints=kp.count(), keypoints=kp, matches=fm)
+    return PrunedLocalizationResult(
+        result=fine, coarse_ok=coarse_h.ok, window=window,
+        n_window=n_window, overflow=n_window > c, sel=sel)
 
 
 def localize_coarse_to_fine(frame, store, camera: CameraModel,
