@@ -104,11 +104,20 @@ def find_chessboard_corners(img, nx: int, ny: int, capacity: int = 256):
     cand_balance = balance[ci[:, 1], ci[:, 0]]
     # 0.75 separates inner corners (~0.98) from the board's outer
     # corner points (~0.64) and edge midpoints (~0.49).
-    cand_valid = cand_valid & (cand_balance > 0.75)
+    primary = cand_valid & (cand_balance > 0.75)
+    v_max = jnp.max(jnp.where(primary, cand_v, 0.0))
+    # Photometric rescue: a vignette / illumination gradient shifts the
+    # GLOBAL mid, dipping a few true corners just below the balance gate
+    # (measured: one corner at 0.733 on a warped board under a 55%
+    # vignette, responding at 0.56·max). True corners respond within
+    # ~2× of the max while boundary pseudo-saddles sit ≤0.19·max, so a
+    # response-conditioned rescue readmits them without readmitting the
+    # boundary points the hard gate exists for.
+    rescue = cand_valid & (cand_balance > 0.6) & (cand_v > 0.35 * v_max)
+    cand_valid = primary | rescue
     # Relative response gate: true corners respond within ~1 order of
     # magnitude of each other; interpolation/noise saddles are ~100×
     # weaker (measured bimodal split ≈ 0.004·max).
-    v_max = jnp.max(jnp.where(cand_valid, cand_v, 0.0))
     cand_valid = cand_valid & (cand_v > 0.1 * v_max)
 
     # --- Initial 4-corner estimate: extremes along the two diagonals. ---
@@ -126,20 +135,45 @@ def find_chessboard_corners(img, nx: int, ny: int, capacity: int = 256):
     score_br = jnp.where(strong, cand_xy[:, 0] + cand_xy[:, 1], -big)
     score_tr = jnp.where(strong, cand_xy[:, 0] - cand_xy[:, 1], -big)
     score_bl = jnp.where(strong, cand_xy[:, 0] - cand_xy[:, 1], big)
-    p_tl = cand_xy[jnp.argmin(score_tl)]
-    p_br = cand_xy[jnp.argmax(score_br)]
-    p_tr = cand_xy[jnp.argmax(score_tr)]
-    p_bl = cand_xy[jnp.argmin(score_bl)]
+    # TOP-2 extremes per corner direction → 16 candidate 4-tuples, keep
+    # the init whose one-round snap residual is smallest. A single
+    # strong off-board candidate (cluttered backgrounds CAN produce a
+    # checkerboard-like junction past every photometric gate — measured
+    # 1 such in 256 on a cluttered+vignetted board) corrupts at most one
+    # extreme, and the residual pick discards every combination that
+    # includes it — a 16-hypothesis RANSAC in one batched solve.
+    _, i_tl = jax.lax.top_k(-score_tl, 2)
+    _, i_br = jax.lax.top_k(score_br, 2)
+    _, i_tr = jax.lax.top_k(score_tr, 2)
+    _, i_bl = jax.lax.top_k(-score_bl, 2)
 
     unit_corners = jnp.array(
         [[0.0, 0.0], [nx - 1.0, 0.0], [0.0, ny - 1.0], [nx - 1.0, ny - 1.0]],
         jnp.float32)
-    img_corners = jnp.stack([p_tl, p_tr, p_bl, p_br])
 
     gy, gx = jnp.mgrid[0:ny, 0:nx]
     grid = jnp.stack([gx, gy], -1).reshape(-1, 2).astype(jnp.float32)
 
-    H = dlt_homography(unit_corners, img_corners)
+    combo = jnp.stack(jnp.meshgrid(jnp.arange(2), jnp.arange(2),
+                                   jnp.arange(2), jnp.arange(2),
+                                   indexing="ij"), -1).reshape(16, 4)
+    img_corners16 = jnp.stack([
+        cand_xy[i_tl[combo[:, 0]]],
+        cand_xy[i_tr[combo[:, 1]]],
+        cand_xy[i_bl[combo[:, 2]]],
+        cand_xy[i_br[combo[:, 3]]],
+    ], axis=1)                                              # [16, 4, 2]
+    H16 = dlt_homography(jnp.broadcast_to(unit_corners, (16, 4, 2)),
+                         img_corners16)
+    pred16 = apply_homography(H16, jnp.broadcast_to(
+        grid, (16,) + grid.shape))                          # [16, G, 2]
+    d2_16 = jnp.sum((pred16[:, :, None, :]
+                     - cand_xy[None, None, :, :]) ** 2, -1)
+    d2_16 = jnp.where(cand_valid[None, None, :], d2_16, big)
+    resid = jnp.mean(jnp.min(d2_16, axis=2), axis=1)        # [16]
+    resid = jnp.where(
+        jnp.all(jnp.isfinite(H16.reshape(16, -1)), axis=1), resid, big)
+    H = H16[jnp.argmin(resid)]
 
     def refine_round(H, _):
         pred = apply_homography(H, grid)                    # [n_corners, 2]

@@ -167,3 +167,111 @@ def test_calibrate_from_images_guards(rng):
     blanks = [np.zeros((64, 64), np.float32) for _ in range(12)]
     with pytest.raises(ValueError, match="detectable"):
         calibrate_from_images(blanks, (7, 6))
+
+
+# ---- photometric robustness (VERDICT r3 next #7) -------------------------
+# The regimes CALIB_CB_ADAPTIVE_THRESH exists for (reference:
+# calibrator/src/main.rs:44-55): vignetting, sensor noise, motion blur,
+# low contrast, cluttered backgrounds — alone and combined with
+# perspective. Gates validated: the balance rescue (photometric dips)
+# and the 16-combination extreme init (clutter pseudo-corners).
+
+
+def _degradations(img, rng):
+    H, W = img.shape
+    yy, xx = np.mgrid[0:H, 0:W]
+    r2 = (((xx - W / 2) ** 2 + (yy - H / 2) ** 2)
+          / ((W / 2) ** 2 + (H / 2) ** 2))
+
+    def mblur(im, k=5):
+        ker = np.ones(k) / k
+        return np.apply_along_axis(
+            lambda r: np.convolve(r, ker, mode="same"), 1, im)
+
+    def clutter(im):
+        out = im.copy()
+        for _ in range(30):
+            cy = rng.integers(0, H - 20)
+            cx = rng.integers(0, W - 20)
+            s = int(rng.integers(8, 30))
+            if cy < 40 or cy > H - 60 or cx < 40 or cx > W - 50:
+                out[cy:cy + s, cx:cx + s] = rng.uniform(0, 1)
+        return out
+
+    return {
+        "vignette": img * (1.0 - 0.75 * r2).astype(np.float32),
+        "noise": np.clip(img + rng.normal(0, 0.04, img.shape),
+                         0, 1).astype(np.float32),
+        "shot": np.clip(img + rng.normal(0, 1, img.shape)
+                        * np.sqrt(np.clip(img, 0, 1)) * 0.06,
+                        0, 1).astype(np.float32),
+        "mblur": mblur(img).astype(np.float32),
+        "lowcontrast": (0.45 + 0.18 * img).astype(np.float32),
+        "clutter": clutter(img).astype(np.float32),
+        "combo": np.clip(clutter(img) * (1.0 - 0.55 * r2)
+                         + rng.normal(0, 0.03, img.shape),
+                         0, 1).astype(np.float32),
+    }
+
+
+def test_chessboard_photometric_degradations():
+    """Axis-aligned board under every degradation: found, ≤1 px."""
+    rng = np.random.default_rng(1)
+    base = _render_board(H=400, W=440, cell=40, bx=60, by=60)
+    gt = np.array([[60 + (i + 1) * 40 - 0.5, 60 + (j + 1) * 40 - 0.5]
+                   for j in range(NY) for i in range(NX)], np.float32)
+    for name, img in _degradations(base, rng).items():
+        corners, found = find_chessboard_corners(jnp.asarray(img), NX, NY)
+        assert bool(found), f"{name}: board not found"
+        err = np.linalg.norm(np.asarray(corners) - gt, axis=1)
+        assert err.max() < 1.0, f"{name}: max corner error {err.max()}"
+
+
+def test_chessboard_perspective_plus_degradations():
+    """Perspective-warped boards × degradations: ≥5/6 found per
+    condition (measured: 6/6 on every condition — the bound leaves one
+    board of slack for platform tie-order differences), ≤1 px vs the
+    warped ground truth when found."""
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    base = _render_board(H=400, W=440, cell=40, bx=60, by=60)
+    gt = np.array([[60 + (i + 1) * 40 - 0.5, 60 + (j + 1) * 40 - 0.5]
+                   for j in range(NY) for i in range(NX)], np.float64)
+    for cond in ("vignette", "clutter", "combo"):
+        n_found = 0
+        for k in range(6):
+            rng2 = np.random.default_rng(100 + k)
+            jitter = rng2.uniform(-0.12, 0.12, (4, 2)) * [440, 400]
+            src = np.array([[0, 0], [440, 0], [440, 400], [0, 400]],
+                           np.float64) + jitter
+            dst = np.array([[0, 0], [440, 0], [440, 400], [0, 400]],
+                           np.float64)
+            A, b = [], []
+            for (x, y), (u, v) in zip(dst, src):
+                A.append([x, y, 1, 0, 0, 0, -u * x, -u * y])
+                b.append(u)
+                A.append([0, 0, 0, x, y, 1, -v * x, -v * y])
+                b.append(v)
+            coeffs = np.linalg.solve(np.array(A), np.array(b))
+            warped = Image.fromarray(
+                (base * 255).astype(np.uint8)).transform(
+                (440, 400), Image.PERSPECTIVE, coeffs, Image.BICUBIC,
+                fillcolor=int(0.9 * 255))
+            img = np.asarray(warped, np.float32) / 255.0
+            rngk = np.random.default_rng(1000 + k)
+            img = _degradations(img, rngk)[cond]
+            corners, found = find_chessboard_corners(
+                jnp.asarray(img), NX, NY)
+            if not bool(found):
+                continue
+            n_found += 1
+            Hm = np.array([[coeffs[0], coeffs[1], coeffs[2]],
+                           [coeffs[3], coeffs[4], coeffs[5]],
+                           [coeffs[6], coeffs[7], 1.0]])
+            g = np.concatenate([gt, np.ones((len(gt), 1))], 1) \
+                @ np.linalg.inv(Hm).T
+            g = g[:, :2] / g[:, 2:]
+            err = np.linalg.norm(np.asarray(corners) - g, axis=1)
+            assert err.max() < 1.0, f"{cond} k={k}: {err.max()} px"
+        assert n_found >= 5, f"{cond}: only {n_found}/6 found"
