@@ -11,11 +11,54 @@ scaling model is a jax.sharding.Mesh with two axes:
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> bool:
+    """Multi-host entry point: wire this process into a cross-host mesh.
+
+    SURVEY §2.3 maps the comm backend to "jax.distributed + ICI
+    collectives …; DCN for multi-host" — this is the DCN leg. Arguments
+    fall back to the APDS_COORDINATOR / APDS_NUM_PROCESSES /
+    APDS_PROCESS_ID environment variables (and jax.distributed's own
+    auto-detection on managed clusters when all three are absent).
+    After it returns True, jax.devices() spans every process and
+    make_mesh() builds a global mesh; all parallel/ paths (GSPMD serve,
+    shard_map DB merge, dp preprocess) work unchanged — XLA routes the
+    collectives over ICI within a host and DCN across hosts.
+
+    On CPU backends the gloo cross-process collective implementation is
+    selected (the multi-process CPU-mesh test rig; TPU backends ignore
+    it). Returns False when no coordinator is configured (single-process
+    run). Safe to call twice (the second call is a no-op).
+    """
+    coordinator = coordinator or os.environ.get("APDS_COORDINATOR")
+    if num_processes is None and os.environ.get("APDS_NUM_PROCESSES"):
+        num_processes = int(os.environ["APDS_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("APDS_PROCESS_ID"):
+        process_id = int(os.environ["APDS_PROCESS_ID"])
+    if coordinator is None and num_processes is None:
+        return False
+    # NOTE: nothing before this point may touch the XLA backend —
+    # jax.distributed.initialize must run first (even jax.process_count
+    # would initialize it).
+    if jax.distributed.is_initialized():
+        return True  # already initialized
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass  # older jaxlib without pluggable CPU collectives
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
 
 
 def make_mesh(dp: Optional[int] = None, tp: Optional[int] = None,
