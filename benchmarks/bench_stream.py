@@ -32,6 +32,12 @@ def main():
     ap.add_argument("--batch", type=int, default=1,
                     help="frames per dispatch (micro-batched streaming; "
                          "amortizes the tunnel round trip)")
+    ap.add_argument("--loopback", action="store_true",
+                    help="measure the device-step cadence with uploads "
+                         "in the loop but the result fetch CHAINED to "
+                         "the end (bench.py protocol) — what a locally-"
+                         "attached chip sustains, without the tunnel "
+                         "RTT per frame (VERDICT r3 next #9)")
     args = ap.parse_args()
 
     import jax
@@ -73,9 +79,55 @@ def main():
     )
     cam = CameraModel.ideal(float(n), float(n), n / 2.0, n / 2.0)
 
+    import time
+
+    if args.loopback:
+        # Device-step cadence with per-frame uploads but the result
+        # fetch chained to the end: each frame's [21] packed output is
+        # summed into an on-device accumulator (forces every execution —
+        # the axon relay's block_until_ready is a no-op and it result-
+        # caches repeated args, hence per-frame unique pixels below);
+        # ONE fetch at the end, RTT measured separately and subtracted.
+        from cubesat_apds_tpu.pipelines.stream import _localize_packed
+
+        entropy = int(time.time() * 1e3) % 251
+        u8 = (np.clip(base, 0, 1) * 255).astype(np.uint8)
+
+        def make_frame(i):
+            f = np.roll(u8, i % (n - 1), axis=1).copy()
+            f[0, 0] = (i * 7 + entropy) % 256      # per-process salt
+            return f
+
+        warm = _localize_packed(jnp.asarray(make_frame(9999)), db, cam,
+                                config, True)
+        float(warm.sum())                          # compile + execute
+        rtts = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            float(jnp.asarray(np.float32(i)) + jnp.float32(1))
+            rtts.append(time.perf_counter() - t0)
+        rtt = float(np.median(rtts))
+        t0 = time.perf_counter()
+        acc = None
+        for i in range(args.frames):
+            out = _localize_packed(jnp.asarray(make_frame(i)), db, cam,
+                                   config, True)
+            acc = out if acc is None else acc + out
+        total = float(acc.sum())                   # forces the chain
+        wall = time.perf_counter() - t0 - rtt
+        print(json.dumps({
+            "bench": "stream_localize",
+            "mode": "loopback",
+            "frames": args.frames,
+            "sustained_fps": round(args.frames / wall, 2),
+            "ms_per_frame": round(wall / args.frames * 1e3, 2),
+            "descriptor_mode": args.descriptor_mode,
+            "checksum": total,
+        }))
+        return
+
     s = StreamingLocalizer(db, cam, config, solve_pose=True,
                            prefetch=2 * args.batch, batch=args.batch)
-    import time
 
     # Warm up compile on one batch outside the timed stream.
     warm = list(s.run([base] * args.batch))

@@ -428,6 +428,17 @@ def _cmd_stream(args):
                 "streamed frames must share one shape (one compiled step)")
         return a
 
+    if getattr(args, "distributed", False):
+        # Multi-host: join the cross-process mesh BEFORE any backend
+        # call (jax.distributed; APDS_COORDINATOR/_NUM_PROCESSES/
+        # _PROCESS_ID or cluster auto-detection). jax.devices() then
+        # spans every host and --mesh builds a global mesh.
+        from cubesat_apds_tpu.parallel.mesh import initialize_distributed
+
+        if not initialize_distributed():
+            raise SystemExit(
+                "--distributed: no coordinator configured (set "
+                "APDS_COORDINATOR, APDS_NUM_PROCESSES, APDS_PROCESS_ID)")
     config = _store_config(store, args.descriptor_mode)
     check_descriptor_mode(store, config)
     db = load_device_db(store, args.lod)
@@ -751,6 +762,11 @@ def main(argv=None):
     ps.add_argument("--mesh", help="DPxTP device mesh, e.g. 2x4: frames "
                     "sharded over dp, the DB over tp (batch rounds up "
                     "to a dp multiple)")
+    ps.add_argument("--distributed", action="store_true",
+                    help="join a multi-host mesh first "
+                         "(jax.distributed via APDS_COORDINATOR/"
+                         "APDS_NUM_PROCESSES/APDS_PROCESS_ID); --mesh "
+                         "then spans every host's devices")
     ps.add_argument("--descriptor-mode", default=None,
                     help="override the descriptor mode (exact/fast/"
                          "hybrid/hybridN); default: adopt the store's "
