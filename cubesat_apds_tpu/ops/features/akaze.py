@@ -148,13 +148,14 @@ def _adaptive_orient_describe(packed, level_hw, combined,
     return go(packed, level_hw, combined, xy, size, class_id, octave, valid)
 
 
-def _prepare(img, config: AkazeConfig, capacity: int, kcontrast):
+def _prepare(img, config: AkazeConfig, capacity: int, kcontrast,
+             batched: bool = False):
     """Front end shared by single and batched extraction: scale space →
     detection → channel-packed sampling stacks (+ the fast/hybrid
     blur-matched stacks). Returns (kps, packed, combined, level_hw,
     scale-space) — everything the per-keypoint back end needs."""
     img = jnp.asarray(img, jnp.float32)
-    ss = build_scale_space(img, config, kcontrast)
+    ss = build_scale_space(img, config, kcontrast, batched=batched)
     kps, lx_list, ly_list = detect_keypoints(ss, config, capacity)
     packed = _packed_stack(ss.Lt, lx_list, ly_list)
     level_hw = jnp.asarray(
@@ -322,8 +323,10 @@ def detect_and_compute_batch(imgs, config: AkazeConfig = AkazeConfig(),
         return jax.vmap(fn)(imgs)
 
     def front(img):
+        # batched=True: the FED strip plan must budget for Mosaic's
+        # double-buffering over the vmap grid dimension.
         kps, packed, combined, level_hw, _ss = _prepare(
-            img, config, capacity, kcontrast)
+            img, config, capacity, kcontrast, batched=True)
         return kps, packed, combined, level_hw
 
     kps, packed, combined, level_hw_b = jax.vmap(front)(imgs)

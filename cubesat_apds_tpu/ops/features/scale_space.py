@@ -196,7 +196,7 @@ class ScaleSpace:
 
 
 def build_scale_space(img, config: AkazeConfig = AkazeConfig(),
-                      kcontrast=None) -> ScaleSpace:
+                      kcontrast=None, batched: bool = False) -> ScaleSpace:
     """img: [H, W] float32 in [0, 1] → 16-level nonlinear scale space.
 
     The level loop unrolls at trace time; FED τ schedules are static numpy.
@@ -235,7 +235,7 @@ def build_scale_space(img, config: AkazeConfig = AkazeConfig(),
             meta[i].etime - meta[i - 1].etime, config.fed_tau_max)
         from cubesat_apds_tpu.ops.pallas.diffusion import fed_cycle_fused
 
-        Lt = fed_cycle_fused(Lt, g, taus)
+        Lt = fed_cycle_fused(Lt, g, taus, batched=batched)
         Lt_list.append(Lt)
         Ls_list.append(Lsmooth)
 

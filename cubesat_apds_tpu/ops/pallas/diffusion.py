@@ -146,12 +146,12 @@ def _strip_kernel(tau_ref, l_ref, g_ref, out_ref, scratch, *,
     out_ref[0] = scratch[:]
 
 
-def _strip_plan(h: int, w: int, n_steps: int):
+def _strip_plan(h: int, w: int, n_steps: int, budget: int | None = None):
     """Choose (strip_h, halo, n_strips) so one [sh+2·halo, W] strip's
     footprint fits the VMEM budget. Returns None when impossible (image
     too wide) — caller falls back to XLA."""
     halo = -(-n_steps // 8) * 8  # exactness needs halo ≥ n_steps
-    budget_rows = _VMEM_BUDGET_BYTES // (_VMEM_BYTES_PER_PIXEL * w)
+    budget_rows = (budget or _VMEM_BUDGET_BYTES) // (_VMEM_BYTES_PER_PIXEL * w)
     strip_h = (budget_rows - 2 * halo) // 8 * 8
     if strip_h < 8:
         return None
@@ -193,12 +193,18 @@ def _fed_cycle_strips(L, g, taus, n_steps: int, strip_h: int, halo: int):
     return interior[:h]
 
 
-def fed_cycle_fused(L, g, taus: np.ndarray):
+def fed_cycle_fused(L, g, taus: np.ndarray, batched: bool = False):
     """Drop-in for scale_space.fed_cycle with VMEM residency.
 
     Dispatch: whole-image kernel when it fits VMEM; row-strip kernel
     (exact, halo = cycle length) otherwise; XLA step loop on non-TPU
     platforms or when even one strip row exceeds the budget.
+
+    batched=True halves the VMEM budget for the strip plan: under vmap
+    the pallas call gains a second grid dimension and Mosaic double-
+    buffers blocks across it, so strips sized for the single-image
+    budget fail Mosaic compilation (measured: 22.4 MB scoped demand vs
+    the 16 MB limit at [4, 1024, 1024] tile batches).
     """
     from cubesat_apds_tpu.ops.features import scale_space as ss
 
@@ -208,11 +214,14 @@ def fed_cycle_fused(L, g, taus: np.ndarray):
     if not on_tpu:
         return ss.fed_cycle(L, g, taus)
     taus_arr = jnp.asarray(np.asarray(taus, np.float32))
-    if vmem_need <= _VMEM_BUDGET_BYTES:
+    if vmem_need <= (_VMEM_BUDGET_BYTES // 2 if batched
+                     else _VMEM_BUDGET_BYTES):
         return _fed_cycle_pallas(jnp.asarray(L, jnp.float32),
                                  jnp.asarray(g, jnp.float32), taus_arr,
                                  int(len(taus)))
-    plan = _strip_plan(h, w, int(len(taus)))
+    plan = _strip_plan(h, w, int(len(taus)),
+                       budget=_VMEM_BUDGET_BYTES // 2 if batched
+                       else _VMEM_BUDGET_BYTES)
     if plan is None:
         return ss.fed_cycle(L, g, taus)
     strip_h, halo, _ = plan

