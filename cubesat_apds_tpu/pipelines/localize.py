@@ -185,10 +185,23 @@ def solve_pose_recentered(db_obj_points, img_points, matches, camera,
         valid=matches.valid,
     )
     pose = solve_pnp_ransac(corr, camera, pnp_config)
+    R = _rmat(pose.rvec)
+    # Above-terrain guard (ECEF worlds only, detected by the centroid's
+    # magnitude): the near-planar pose ambiguity's mirror solution
+    # places the camera BELOW the ground plane — measured live as rare
+    # ~80-90° attitude flips in the approximate descriptor modes at
+    # oblique views (PERF.md round-4 accuracy tables). The camera-to-
+    # ground-centroid vector is C − centroid = −Rᵀ·t_recentered; its
+    # component along the local up (≈ centroid direction in ECEF) must
+    # be positive for any physical camera. Mosaic-frame worlds (planar
+    # z=0, centroid ≈ 0) skip the check.
+    up_component = -(R.T @ pose.tvec) @ centroid.astype(jnp.float32)
+    is_ecef = jnp.linalg.norm(centroid) > 1e6
+    ok = pose.ok & ((up_component > 0) | ~is_ecef)
     return PoseSolution(
         rvec=pose.rvec,
-        tvec=pose.tvec - _rmat(pose.rvec) @ centroid.astype(jnp.float32),
-        inliers=pose.inliers, num_inliers=pose.num_inliers, ok=pose.ok)
+        tvec=pose.tvec - R @ centroid.astype(jnp.float32),
+        inliers=pose.inliers, num_inliers=pose.num_inliers, ok=ok)
 
 
 def check_descriptor_mode(store, config: PipelineConfig):

@@ -126,3 +126,54 @@ def test_oblique_pose_accuracy(world, store_and_cfg):
                              np.asarray(res.pose.tvec), cam)
     assert att < 3.0, f"attitude error {att} deg"
     assert pos < 60.0, f"position error {pos} m"
+
+
+def test_pose_above_terrain_guard():
+    """The near-planar pose ambiguity's mirror puts the camera BELOW the
+    terrain; for ECEF worlds solve_pose_recentered must flag it. A
+    physically identical setup with the camera above must stay ok
+    (measured live: rare ~80-90 deg flips in approximate modes at
+    oblique views — PERF.md round-4 accuracy tables)."""
+    from cubesat_apds_tpu.core.types import Matches
+    from cubesat_apds_tpu.core.config import PnPConfig
+    from cubesat_apds_tpu.pipelines.localize import solve_pose_recentered
+
+    rng = np.random.default_rng(0)
+    n = 64
+    # ECEF-ish ground patch: tangent plane at radius 6.4e6 along +z.
+    r0 = 6.4e6
+    pts = np.zeros((n, 3))
+    pts[:, 0] = rng.uniform(-400, 400, n)
+    pts[:, 1] = rng.uniform(-400, 400, n)
+    pts[:, 2] = r0 + rng.uniform(-3, 3, n)
+    up = np.array([0.0, 0.0, 1.0])
+
+    def project(C, look):
+        z = look / np.linalg.norm(look)
+        x = np.array([1.0, 0.0, 0.0])
+        x = x - np.dot(x, z) * z
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z])
+        p = (pts - C) @ R.T
+        assert (p[:, 2] > 0).all()
+        img = 800.0 * p[:, :2] / p[:, 2:] + 256.0
+        return R, img
+
+    camera = CameraModel(K=jnp.asarray([[800.0, 0, 256], [0, 800, 256],
+                                        [0, 0, 1]], jnp.float32),
+                         dist=jnp.zeros(5, jnp.float32))
+    matches = Matches(query_idx=jnp.arange(n, dtype=jnp.int32),
+                      train_idx=jnp.arange(n, dtype=jnp.int32),
+                      distance=jnp.zeros(n, jnp.float32),
+                      valid=jnp.ones(n, bool))
+    cfg = PnPConfig(num_hypotheses=32)
+    center = pts.mean(0)
+
+    for offset, want_ok in ((+1500.0 * up, True), (-1500.0 * up, False)):
+        C = center + offset
+        _R, img = project(C, center - C)
+        pose = solve_pose_recentered(
+            jnp.asarray(pts, jnp.float32), jnp.asarray(img, jnp.float32),
+            matches, camera, cfg)
+        assert bool(pose.ok) == want_ok, (offset[2], float(pose.num_inliers))
