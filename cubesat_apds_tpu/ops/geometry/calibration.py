@@ -18,6 +18,9 @@ calibrator/src/main.rs:42-55, flagged in SURVEY.md as a quirk to fix).
 
 from __future__ import annotations
 
+from cubesat_apds_tpu.ops.geometry.linalg_small import (
+    highest_matmul_precision as _highest_matmul_precision)
+
 import dataclasses
 import functools
 
@@ -126,6 +129,7 @@ def _project(params, obj_xy, n_views):
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
+@_highest_matmul_precision
 def calibrate_camera(obj_xy, img_points, point_valid=None, view_valid=None,
                      config: CalibConfig = CalibConfig()) -> CalibrationResult:
     """obj_xy: [N, 2] planar grid (the z=0 pattern, helpers.rs:38-46);

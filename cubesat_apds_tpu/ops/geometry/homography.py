@@ -14,6 +14,9 @@ bitwise pose equality).
 
 from __future__ import annotations
 
+from cubesat_apds_tpu.ops.geometry.linalg_small import (
+    highest_matmul_precision as _highest_matmul_precision)
+
 import functools
 
 import jax
@@ -44,6 +47,7 @@ def _normalize_points(pts, weights):
     return centered * scale[..., None, None], T
 
 
+@_highest_matmul_precision
 def dlt_homography(src, dst, weights=None):
     """Weighted DLT: solve H s.t. dst ~ H·src from ≥4 correspondences.
 
@@ -81,6 +85,7 @@ def dlt_homography(src, dst, weights=None):
     return H
 
 
+@_highest_matmul_precision
 def dlt_homography_solve(src, dst, weights=None):
     """Fast DLT variant fixing H[2,2] = 1: an 8×8 linear solve instead of
     the 9×9 eigendecomposition (TPU eigh custom-calls cost ~10× an LU
@@ -169,6 +174,7 @@ def symmetric_transfer_error(H, src, dst):
 
 
 @functools.partial(jax.jit, static_argnames=("config", "method"))
+@_highest_matmul_precision
 def find_homography_ransac(src, dst, valid=None, config: RansacConfig = RansacConfig(),
                            key=None, method: str = "ransac",
                            quality=None) -> HomographyResult:

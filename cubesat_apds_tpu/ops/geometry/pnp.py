@@ -13,6 +13,9 @@ design:
 
 from __future__ import annotations
 
+from cubesat_apds_tpu.ops.geometry.linalg_small import (
+    highest_matmul_precision as _highest_matmul_precision)
+
 import functools
 
 import jax
@@ -30,9 +33,28 @@ from cubesat_apds_tpu.ops.geometry.rodrigues import (
 )
 
 
+def _apply_pose(R, t, obj):
+    """cam = R·obj + t via ELEMENTWISE multiply-add — [..., 3, 3] × [N, 3].
+
+    Deliberately not a matmul: pose scoring and GN residuals must be
+    precision-mode-independent (K=3 contractions through the MXU carry
+    mode-dependent rounding; the ground-truth harness measured the
+    solver believing a 7°-off pose fit better than truth because its
+    internal residuals disagreed with f64 by ~px). Three VPU
+    multiply-adds per output are exact f32 and cost nothing at these
+    shapes."""
+    ox = obj[:, 0][:, None]                       # [N, 1]
+    oy = obj[:, 1][:, None]
+    oz = obj[:, 2][:, None]
+    cam = (R[..., None, :, 0] * ox                # [..., N, 3]
+           + R[..., None, :, 1] * oy
+           + R[..., None, :, 2] * oz)
+    return cam + t[..., None, :]
+
+
 def _reproj_err_normalized(R, t, obj, uv_n):
     """Squared reprojection error in normalized image coords, [..., N]."""
-    cam = jnp.einsum("...ij,nj->...ni", R, obj) + t[..., None, :]
+    cam = _apply_pose(R, t, obj)
     z = cam[..., 2]
     behind = z <= 1e-6
     zs = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
@@ -47,7 +69,7 @@ def _gn_refine_pose(rvec, tvec, obj, uv_n, weights, iters: int):
     def residuals(params):
         rv, tv = params[:3], params[3:]
         R = rodrigues_to_matrix(rv)
-        cam = obj @ R.T + tv
+        cam = _apply_pose(R, tv, obj)             # elementwise, see above
         z = jnp.where(jnp.abs(cam[:, 2]) < 1e-12, 1e-12, cam[:, 2])
         uv_hat = cam[:, :2] / z[:, None]
         return ((uv_hat - uv_n) * weights[:, None]).reshape(-1)
@@ -60,7 +82,14 @@ def _gn_refine_pose(rvec, tvec, obj, uv_n, weights, iters: int):
         # (JtJ is 6×6 PSD; damping keeps it SPD at degenerate poses).
         delta = cholesky_solve(JtJ, J.T @ r, damp=1e-9)
         new = params - delta
-        ok = jnp.all(jnp.isfinite(new))
+        # MONOTONE acceptance: keep the step only if the weighted
+        # residual norm decreases. Plain GN can drift along the
+        # near-planar pose-ambiguity valley (flat cost, huge pose
+        # changes) — measured live as a 7° attitude walk that the
+        # inlier-count guard downstream cannot see (every point stays
+        # under the loose threshold).
+        ok = jnp.all(jnp.isfinite(new)) & \
+            (jnp.sum(residuals(new) ** 2) < jnp.sum(r ** 2))
         return jnp.where(ok, new, params)
 
     params = jnp.concatenate([rvec, tvec])
@@ -72,6 +101,7 @@ def _gn_refine_pose(rvec, tvec, obj, uv_n, weights, iters: int):
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
+@_highest_matmul_precision
 def solve_pnp_ransac(corr: Correspondences, camera: CameraModel,
                      config: PnPConfig = PnPConfig(), key=None) -> PoseSolution:
     """RANSAC-EPnP over fixed-capacity correspondences.
@@ -137,17 +167,28 @@ def solve_pnp_ransac(corr: Correspondences, camera: CameraModel,
     ts = jnp.concatenate([ts, t_o[None]], axis=0)
     oks = jnp.concatenate([oks, ok_o[None]], axis=0)
 
-    err = _reproj_err_normalized(Rs, ts, obj, uv_n)    # [H, N]
+    # MSAC-style truncated-error scoring (lower is better): every
+    # residual contributes min(err, thr2), so a pose that keeps the same
+    # inlier COUNT but fits them worse scores worse. Pure inlier
+    # counting is blind inside the near-planar pose-ambiguity valley —
+    # poses 7° apart can hold the identical inlier set under the loose
+    # pixel threshold (measured live via the ground-truth harness), and
+    # tie-broken selection then picks an arbitrary valley member.
+    def msac(R, t):
+        err = _reproj_err_normalized(R, t, obj, uv_n)
+        return jnp.sum(jnp.minimum(err, thr2) * vf[None, :], axis=-1), err
+
+    scores_err, err = msac(Rs, ts)
     inl = (err < thr2) & valid[None, :]
-    scores = jnp.where(oks, jnp.sum(inl, axis=-1), -1)
-    best = jnp.argmax(scores)
+    scores_err = jnp.where(oks, scores_err, jnp.inf)
+    best = jnp.argmin(scores_err)
     R_best, t_best = Rs[best], ts[best]
     inliers = inl[best]
+    s_best = scores_err[best]
 
     # --- Refit on the full inlier set (EPnP exact + planar compete),
     # then Gauss-Newton polish. ---
     w_inl = inliers.astype(jnp.float32)
-    n_best = jnp.sum(inliers)
     fits = [epnp(obj, uv_n, w_inl),
             planar_pose(obj, uv_n, w_inl),
             ortho_pose(obj, uv_n, w_inl)]
@@ -155,28 +196,25 @@ def solve_pnp_ransac(corr: Correspondences, camera: CameraModel,
     t_fits = jnp.stack([f[1] for f in fits])
     ok_fits = jnp.stack([f[2] for f in fits])
     # One batched rescoring for all three refits; the preference chain
-    # (each later refit wins ties against the running best) stays a
-    # scalar where-cascade, preserving the original selection order.
-    n_fits = jnp.sum(
-        (_reproj_err_normalized(R_fits, t_fits, obj, uv_n) < thr2)
-        & valid[None, :], axis=-1)
+    # stays a scalar where-cascade. A refit must IMPROVE the truncated
+    # error to replace the running best.
+    s_fits, _ = msac(R_fits, t_fits)
     for i in range(3):
-        use_fit = ok_fits[i] & (n_fits[i] >= n_best)
+        use_fit = ok_fits[i] & (s_fits[i] < s_best)
         R_best = jnp.where(use_fit, R_fits[i], R_best)
         t_best = jnp.where(use_fit, t_fits[i], t_best)
-        n_best = jnp.where(use_fit, n_fits[i], n_best)
+        s_best = jnp.where(use_fit, s_fits[i], s_best)
 
     rvec0 = matrix_to_rodrigues(R_best)
     rvec_gn, tvec_gn = _gn_refine_pose(rvec0, t_best, obj, uv_n, w_inl,
                                        config.refine_iters)
-    # The Gauss-Newton polish can DIVERGE on ill-conditioned (near-
-    # affine) geometry; keep it only when it does not lose inliers.
-    n_gn = jnp.sum((_reproj_err_normalized(
-        rodrigues_to_matrix(rvec_gn), tvec_gn, obj, uv_n) < thr2) & valid)
-    n_pre = jnp.sum((_reproj_err_normalized(
-        R_best, t_best, obj, uv_n) < thr2) & valid)
+    # Keep the polish only when it improves the truncated error (its
+    # per-step monotone guard bounds drift; this bounds the remaining
+    # Rodrigues-roundtrip wobble too).
+    s_gn, _ = msac(rodrigues_to_matrix(rvec_gn)[None], tvec_gn[None])
+    s_pre, _ = msac(R_best[None], t_best[None])
     keep_gn = jnp.all(jnp.isfinite(rvec_gn)) & \
-        jnp.all(jnp.isfinite(tvec_gn)) & (n_gn >= n_pre)
+        jnp.all(jnp.isfinite(tvec_gn)) & (s_gn[0] <= s_pre[0])
     rvec = jnp.where(keep_gn, rvec_gn, rvec0)
     tvec = jnp.where(keep_gn, tvec_gn, t_best)
     R_final = rodrigues_to_matrix(rvec)

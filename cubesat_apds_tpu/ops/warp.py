@@ -7,6 +7,7 @@ map on-device, gather 4 neighbours, blend. Fully batched and jittable.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -67,7 +68,8 @@ def warp_perspective(img, H, out_shape=None, fill_value: float = 0.0):
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
     ones = jnp.ones_like(gx)
     pts = jnp.stack([gx, gy, ones], axis=-1)          # [oh, ow, 3]
-    src = jnp.einsum("ij,hwj->hwi", Hinv, pts)
+    src = jnp.einsum("ij,hwj->hwi", Hinv, pts,
+                     precision=jax.lax.Precision.HIGHEST)
     z = src[..., 2]
     safe_z = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
     coords = src[..., :2] / safe_z[..., None]
@@ -105,7 +107,8 @@ def apply_homography(H, pts):
     """Transform 2D points [..., N, 2] by 3×3 homography [..., 3, 3]."""
     ones = jnp.ones(pts.shape[:-1] + (1,), pts.dtype)
     ph = jnp.concatenate([pts, ones], axis=-1)
-    out = jnp.einsum("...ij,...nj->...ni", H, ph)
+    out = jnp.einsum("...ij,...nj->...ni", H, ph,
+                     precision=jax.lax.Precision.HIGHEST)
     z = out[..., 2]
     safe_z = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
     return out[..., :2] / safe_z[..., None]

@@ -186,6 +186,13 @@ def solve_pose_recentered(db_obj_points, img_points, matches, camera,
     )
     pose = solve_pnp_ransac(corr, camera, pnp_config)
     R = _rmat(pose.rvec)
+    # ECEF-scale matvecs in ELEMENTWISE form: TPU's default f32 matmul
+    # runs bf16 MXU passes, and 0.4% of 6.4e6 m is ~25 km — measured
+    # live by the round-4 ground-truth harness (PERF.md). VPU
+    # elementwise ops keep full f32.
+    c32 = centroid.astype(jnp.float32)
+    r_c = jnp.sum(R * c32[None, :], axis=1)            # R @ centroid
+    rt_t = jnp.sum(R * pose.tvec[:, None], axis=0)     # Rᵀ @ tvec
     # Above-terrain guard (ECEF worlds only, detected by the centroid's
     # magnitude): the near-planar pose ambiguity's mirror solution
     # places the camera BELOW the ground plane — measured live as rare
@@ -195,12 +202,12 @@ def solve_pose_recentered(db_obj_points, img_points, matches, camera,
     # component along the local up (≈ centroid direction in ECEF) must
     # be positive for any physical camera. Mosaic-frame worlds (planar
     # z=0, centroid ≈ 0) skip the check.
-    up_component = -(R.T @ pose.tvec) @ centroid.astype(jnp.float32)
+    up_component = -jnp.sum(rt_t * c32)
     is_ecef = jnp.linalg.norm(centroid) > 1e6
     ok = pose.ok & ((up_component > 0) | ~is_ecef)
     return PoseSolution(
         rvec=pose.rvec,
-        tvec=pose.tvec - R @ centroid.astype(jnp.float32),
+        tvec=pose.tvec - r_c,
         inliers=pose.inliers, num_inliers=pose.num_inliers, ok=ok)
 
 
