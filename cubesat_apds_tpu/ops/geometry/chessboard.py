@@ -113,7 +113,12 @@ def find_chessboard_corners(img, nx: int, ny: int, capacity: int = 256):
     # ~2× of the max while boundary pseudo-saddles sit ≤0.19·max, so a
     # response-conditioned rescue readmits them without readmitting the
     # boundary points the hard gate exists for.
-    rescue = cand_valid & (cand_balance > 0.6) & (cand_v > 0.35 * v_max)
+    # (v_max > 0 guards the degenerate no-primary case — e.g. severe
+    # vignette pushing every corner below the balance gate: without it
+    # the response-conditioned rescue and the 0.1·v_max gate both
+    # degenerate to pass-everything instead of failing cleanly.)
+    rescue = (cand_valid & (cand_balance > 0.6)
+              & (cand_v > 0.35 * v_max) & (v_max > 0))
     cand_valid = primary | rescue
     # Relative response gate: true corners respond within ~1 order of
     # magnitude of each other; interpolation/noise saddles are ~100×

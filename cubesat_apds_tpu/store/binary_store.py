@@ -161,20 +161,25 @@ def _write_segment(seg_dir: str, store: FeatureStore,
     """
     os.makedirs(seg_dir, exist_ok=True)
     n = len(store)
+    # Segment files go through _atomic_save (fsync file + dir): the
+    # manifest commit that follows is itself fsynced, and a commit that
+    # reaches disk before the segment contents it references would leave
+    # a committed manifest pointing at torn files after power loss.
     for c in _COLS:
         col = np.ascontiguousarray(store._kp[c])
         if c == "image_id" and image_id_offset:
             col = col + np.int32(image_id_offset)
-        np.save(os.path.join(seg_dir, f"{c}.npy"), col)
-    np.save(os.path.join(seg_dir, "desc.npy"),
-            np.ascontiguousarray(store._desc))
+        _atomic_save(os.path.join(seg_dir, f"{c}.npy"), col)
+    _atomic_save(os.path.join(seg_dir, "desc.npy"),
+                 np.ascontiguousarray(store._desc))
 
     # Denormalized per-keypoint LoD (joins are a luxury of SQL).
     lod_of_image = {r.id + image_id_offset: r.level_of_detail
                     for r in store._images.values()}
     lod = np.array([lod_of_image.get(int(i) + image_id_offset, -1)
                     for i in store._kp["image_id"]], np.int32)
-    np.save(os.path.join(seg_dir, "lod.npy"), lod)
+    _atomic_save(os.path.join(seg_dir, "lod.npy"), lod)
+    _fsync_dir(os.path.dirname(seg_dir) or ".")  # the seg dir entry itself
     return n
 
 
