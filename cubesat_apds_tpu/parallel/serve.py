@@ -62,6 +62,7 @@ def shard_device_db(mesh, db: DeviceDb, pad_to_multiple: bool = True
         valid=jax.device_put(valid, NamedSharding(mesh, P("tp"))),
         obj_points=jax.device_put(obj, NamedSharding(mesh, P())),
         has_world=db.has_world,
+        world_frame=db.world_frame,
     )
 
 
@@ -168,7 +169,8 @@ def make_batch_localizer(mesh, camera: CameraModel,
         if want_pose:
             def pose_one(kxy, m):
                 return solve_pose_recentered(
-                    db.obj_points, kxy[m.query_idx], m, camera, config.pnp)
+                    db.obj_points, kxy[m.query_idx], m, camera, config.pnp,
+                    world_frame=db.world_frame)
 
             pose = jax.vmap(pose_one)(kp.xy, matches)
 
