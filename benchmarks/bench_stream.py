@@ -38,6 +38,11 @@ def main():
                          "the end (bench.py protocol) — what a locally-"
                          "attached chip sustains, without the tunnel "
                          "RTT per frame (VERDICT r3 next #9)")
+    ap.add_argument("--pruned", action="store_true",
+                    help="loopback through the PRUNED serving step "
+                         "(device CSR spatial window) — pair with "
+                         "--db-size 1048576 for the 1M-row serving "
+                         "cadence (VERDICT r4 next #3)")
     args = ap.parse_args()
 
     import jax
@@ -62,14 +67,53 @@ def main():
             yield np.roll(base, i % 7, axis=1)
 
     m = args.db_size
-    db = DeviceDb(
-        descriptors=jnp.asarray(rng.integers(0, 256, (m, 61),
-                                             dtype=np.uint8)),
-        xy=jnp.asarray(rng.uniform(0, n, (m, 2)).astype(np.float32)),
-        valid=jnp.ones(m, bool),
-        obj_points=jnp.zeros((m, 3), jnp.float32),
-        has_world=True,
-    )
+    config_cap = args.capacity
+    if args.pruned:
+        # Production-scale DB, synthesized ON DEVICE (real extracted
+        # rows + PRNG filler — no gigabyte upload through the tunnel;
+        # same construction as bench_localize_bigdb) with the pruning
+        # index + a coarse DB of the first 32k rows.
+        from cubesat_apds_tpu.core.config import AkazeConfig as _AC
+        from cubesat_apds_tpu.ops.features.akaze import detect_and_compute
+        from cubesat_apds_tpu.pipelines.localize import make_pruned_db
+
+        feats = detect_and_compute(
+            jnp.asarray(np.roll(base, (7, 13), axis=(0, 1))),
+            _AC(capacity=config_cap,
+                descriptor_mode=args.descriptor_mode))
+
+        @jax.jit
+        def build_db(desc_real, xy_real, valid_real):
+            filler = jax.random.randint(jax.random.key(7), (m, 61), 0,
+                                        256, jnp.uint8)
+            desc = filler.at[:desc_real.shape[0]].set(desc_real)
+            xy = jax.random.uniform(jax.random.key(8), (m, 2),
+                                    jnp.float32, 0.0, 8192.0)
+            xy = xy.at[:xy_real.shape[0]].set(xy_real)
+            valid = jnp.ones((m,), bool).at[:valid_real.shape[0]].set(
+                valid_real)
+            obj = jnp.concatenate([xy, jnp.zeros((m, 1), jnp.float32)],
+                                  axis=1)
+            return desc, xy, valid, obj
+
+        d_, x_, v_, o_ = build_db(feats.descriptors, feats.keypoints.xy,
+                                  feats.keypoints.valid)
+        full = DeviceDb(descriptors=d_, xy=x_, valid=v_, obj_points=o_,
+                        has_world=True)
+        coarse = DeviceDb(descriptors=d_[:32768], xy=x_[:32768],
+                          valid=v_[:32768], obj_points=o_[:32768],
+                          has_world=True)
+        db = make_pruned_db(full, coarse, window_capacity=16384)
+        jax.block_until_ready(db.rows)
+    else:
+        db = DeviceDb(
+            descriptors=jnp.asarray(rng.integers(0, 256, (m, 61),
+                                                 dtype=np.uint8)),
+            xy=jnp.asarray(rng.uniform(0, n, (m, 2)).astype(np.float32)),
+            valid=jnp.ones(m, bool),
+            obj_points=jnp.zeros((m, 3), jnp.float32),
+            has_world=True,
+        )
     config = PipelineConfig(
         akaze=AkazeConfig(capacity=args.capacity,
                           descriptor_mode=args.descriptor_mode),
@@ -94,17 +138,31 @@ def main():
         # the bound (measured: per-frame-upload loopback 18.1 ms/frame
         # = 55 fps vs ~5.4 ms of compute), which a local host feeds
         # trivially.
-        from cubesat_apds_tpu.pipelines.localize import localize_frame_jit
+        from cubesat_apds_tpu.pipelines.localize import (
+            localize_frame_jit, localize_frame_pruned_jit)
         from cubesat_apds_tpu.pipelines.stream import _pack_outputs
 
         import jax
 
-        @jax.jit
-        def step(fd, salt):
-            f = fd.astype(jnp.float32) / 255.0 + salt * jnp.float32(1e-7)
-            r = localize_frame_jit(f, db, cam, config, solve_pose=True)
-            return _pack_outputs(r.homography, r.num_matches,
-                                 r.num_keypoints, r.pose)
+        if args.pruned:
+            @jax.jit
+            def step(fd, salt):
+                f = fd.astype(jnp.float32) / 255.0 \
+                    + salt * jnp.float32(1e-7)
+                pr = localize_frame_pruned_jit(f, db, cam, config,
+                                               solve_pose=True)
+                r = pr.result
+                return _pack_outputs(r.homography, r.num_matches,
+                                     r.num_keypoints, r.pose)
+        else:
+            @jax.jit
+            def step(fd, salt):
+                f = fd.astype(jnp.float32) / 255.0 \
+                    + salt * jnp.float32(1e-7)
+                r = localize_frame_jit(f, db, cam, config,
+                                       solve_pose=True)
+                return _pack_outputs(r.homography, r.num_matches,
+                                     r.num_keypoints, r.pose)
 
         u8 = (np.clip(base, 0, 1) * 255).astype(np.uint8)
         pool = [jnp.asarray(np.roll(u8, 3 * i + 1, axis=1))
@@ -126,8 +184,9 @@ def main():
         wall = time.perf_counter() - t0 - rtt
         print(json.dumps({
             "bench": "stream_localize",
-            "mode": "loopback",
+            "mode": "loopback_pruned" if args.pruned else "loopback",
             "frames": args.frames,
+            "db_size": m,
             "sustained_fps": round(args.frames / wall, 2),
             "ms_per_frame": round(wall / args.frames * 1e3, 2),
             "descriptor_mode": args.descriptor_mode,

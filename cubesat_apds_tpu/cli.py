@@ -141,6 +141,18 @@ def _camera_from_args(camera_path, shape):
 def _cmd_preprocess(args):
     import os
 
+    if getattr(args, "distributed", False):
+        # Join the cross-process mesh BEFORE any backend touch (same
+        # contract as stream --distributed); `-c N` then counts GLOBAL
+        # devices and every process ingests the full store while the
+        # extraction batches shard over the cross-host dp axis.
+        from cubesat_apds_tpu.parallel.mesh import initialize_distributed
+
+        if not initialize_distributed():
+            raise SystemExit(
+                "--distributed: no coordinator configured (set "
+                "APDS_COORDINATOR, APDS_NUM_PROCESSES, APDS_PROCESS_ID)")
+
     from cubesat_apds_tpu.core.config import PipelineConfig
     from cubesat_apds_tpu.io.mosaic import MosaicDataset
     from cubesat_apds_tpu.pipelines.preprocess import preprocess
@@ -273,7 +285,9 @@ def _cmd_localize(args):
     import numpy as np
 
     from cubesat_apds_tpu.pipelines.localize import (
-        Localizer, load_device_db, localize_coarse_to_fine)
+        Localizer, load_device_db, load_pruned_device_db,
+        localize_coarse_to_fine, localize_frame_pruned_fallback_jit,
+        localize_frame_pruned_jit)
 
     store = _open_store(args.store)
     config = _store_config(store, args.descriptor_mode)
@@ -286,13 +300,28 @@ def _cmd_localize(args):
             "frames have different sizes; the ideal-camera fallback "
             "would misnormalize — pass --camera")
     camera = _camera_from_args(args.camera, frames[0].shape)
+    if args.pruned and args.coarse_to_fine:
+        raise SystemExit(
+            "--pruned and --coarse-to-fine are alternative pruning "
+            "strategies (device-side window vs host re-window) — "
+            "pass one")
     # The device DB is exported + uploaded ONCE; every frame reuses it
     # (Localizer — the serving path; multiple --frame args amortize the
     # store→device cost). Coarse-to-fine re-windows the fine DB per
-    # frame instead (pipelines.localize.localize_coarse_to_fine).
+    # frame instead (pipelines.localize.localize_coarse_to_fine);
+    # --pruned keeps the window ON DEVICE (CSR spatial index, the
+    # serving-scale path).
     localizer = None
     coarse_db = None
-    if args.coarse_to_fine:
+    pruned_db = None
+    if args.pruned:
+        from cubesat_apds_tpu.pipelines.localize import \
+            check_descriptor_mode
+
+        check_descriptor_mode(store, config)
+        pruned_db = load_pruned_device_db(store, fine_lod=args.lod,
+                                          match_config=config.match)
+    elif args.coarse_to_fine:
         # Load the coarse DB once; every frame reuses it (the fine DB
         # is window-dependent and re-built per frame by design).
         recs = (store.images if hasattr(store, "images")
@@ -312,9 +341,36 @@ def _cmd_localize(args):
 
         stack.enter_context(device_trace(args.profile))
     with stack:
+        import jax.numpy as jnp
+
         for path, frame in zip(args.frame, frames):
             t0 = time.perf_counter()
-            if args.coarse_to_fine:
+            pruned_info = None
+            if args.pruned:
+                fdev = jnp.asarray(frame, jnp.float32)
+                pr = localize_frame_pruned_jit(
+                    fdev, pruned_db, camera, config,
+                    solve_pose=pruned_db.has_world)
+                coarse_ok = bool(pr.coarse_ok)
+                overflow = bool(pr.overflow)
+                if coarse_ok and not overflow:
+                    res = pr.result
+                else:
+                    # Rare: no coarse fix / window overflow — the
+                    # full-DB step reconstructed from the pruned row
+                    # table answers instead (no second resident copy).
+                    res = localize_frame_pruned_fallback_jit(
+                        fdev, pruned_db, camera, config,
+                        solve_pose=pruned_db.has_world)
+                pruned_info = {
+                    "coarse_ok": coarse_ok,
+                    "overflow": overflow,
+                    "window": [round(float(v), 2)
+                               for v in np.asarray(pr.window)],
+                    "window_rows": int(pr.n_window),
+                    "fallback": not coarse_ok or overflow,
+                }
+            elif args.coarse_to_fine:
                 res, coarse, window = localize_coarse_to_fine(
                     frame, store, camera, config,
                     coarse_db=coarse_db)
@@ -330,6 +386,8 @@ def _cmd_localize(args):
                 "inliers": int(res.homography.num_inliers),
                 "seconds": round(dt, 3),
             }
+            if pruned_info is not None:
+                out["pruned"] = pruned_info
             if args.coarse_to_fine:
                 out["coarse_ok"] = bool(coarse.homography.ok)
                 out["window"] = (None if window is None
@@ -391,6 +449,21 @@ def _cmd_stream(args):
     import numpy as np
     from PIL import Image
 
+    if getattr(args, "distributed", False):
+        # Multi-host: join the cross-process mesh BEFORE anything that
+        # could initialize the XLA backend (jax.distributed.initialize
+        # must run first — even building the CameraModel's jnp arrays
+        # below would lock in a single-process backend). Configuration:
+        # APDS_COORDINATOR / APDS_NUM_PROCESSES / APDS_PROCESS_ID, or
+        # cluster auto-detection. jax.devices() then spans every host
+        # and --mesh builds a global mesh.
+        from cubesat_apds_tpu.parallel.mesh import initialize_distributed
+
+        if not initialize_distributed():
+            raise SystemExit(
+                "--distributed: no coordinator configured (set "
+                "APDS_COORDINATOR, APDS_NUM_PROCESSES, APDS_PROCESS_ID)")
+
     from cubesat_apds_tpu.pipelines.localize import (check_descriptor_mode,
                                                      load_device_db)
     from cubesat_apds_tpu.pipelines.stream import StreamingLocalizer
@@ -428,20 +501,21 @@ def _cmd_stream(args):
                 "streamed frames must share one shape (one compiled step)")
         return a
 
-    if getattr(args, "distributed", False):
-        # Multi-host: join the cross-process mesh BEFORE any backend
-        # call (jax.distributed; APDS_COORDINATOR/_NUM_PROCESSES/
-        # _PROCESS_ID or cluster auto-detection). jax.devices() then
-        # spans every host and --mesh builds a global mesh.
-        from cubesat_apds_tpu.parallel.mesh import initialize_distributed
-
-        if not initialize_distributed():
-            raise SystemExit(
-                "--distributed: no coordinator configured (set "
-                "APDS_COORDINATOR, APDS_NUM_PROCESSES, APDS_PROCESS_ID)")
     config = _store_config(store, args.descriptor_mode)
     check_descriptor_mode(store, config)
-    db = load_device_db(store, args.lod)
+    if getattr(args, "pruned", False):
+        if args.mesh:
+            raise SystemExit(
+                "--pruned and --mesh are alternative serving-scale "
+                "strategies (device spatial window vs tp-sharded full "
+                "DB) — pass one")
+        from cubesat_apds_tpu.pipelines.localize import \
+            load_pruned_device_db
+
+        db = load_pruned_device_db(store, fine_lod=args.lod,
+                                   match_config=config.match)
+    else:
+        db = load_device_db(store, args.lod)
     mesh = None
     if args.mesh:
         # Compose the stream with the mesh-parallel serving step:
@@ -539,6 +613,9 @@ def _cmd_stream(args):
         "p90_latency_s": round(float(np.percentile(lat, 90)), 4),
         "batch": s.batch,
     }
+    if getattr(args, "pruned", False):
+        summary["pruned"] = True
+        summary["fallback_frames"] = s.fallback_frames
     print(json.dumps({"summary": summary}))
     return 0
 
@@ -704,6 +781,11 @@ def main(argv=None):
                     help="shard each tile batch over a dp mesh of N "
                     "devices (the reference preprocessor's -c/--cpu-num "
                     "analogue)")
+    pp.add_argument("--distributed", action="store_true",
+                    help="join a cross-process mesh first "
+                         "(jax.distributed; APDS_COORDINATOR/"
+                         "_NUM_PROCESSES/_PROCESS_ID); -c then counts "
+                         "global devices")
     pp.add_argument("--binary", action="store_true",
                     help="write the mmap binary store (native queries)")
     pp.add_argument("--append", action="store_true",
@@ -742,6 +824,11 @@ def main(argv=None):
                     help="override the descriptor mode (exact/fast/"
                          "hybrid/hybridN); default: adopt the store's "
                          "recorded mode")
+    pl.add_argument("--pruned", action="store_true",
+                    help="serving-scale spatial pruning: coarse fix + "
+                         "DEVICE-side CSR window over the fine LoD (the "
+                         "store's bbox query on device; falls back to "
+                         "the full DB on coarse miss/overflow)")
     pl.add_argument("--coarse-to-fine", action="store_true",
                     help="two-stage: match the coarsest LoD first, then "
                     "only LoD-0 keypoints inside the projected window "
@@ -759,6 +846,10 @@ def main(argv=None):
                          "host<->device round trip)")
     ps.add_argument("--camera", help="camera json (from calibrate)")
     ps.add_argument("--lod", type=int, default=0)
+    ps.add_argument("--pruned", action="store_true",
+                    help="serving-scale spatial pruning per frame "
+                         "(device CSR window; composes with --batch and "
+                         "--follow, not with --mesh)")
     ps.add_argument("--mesh", help="DPxTP device mesh, e.g. 2x4: frames "
                     "sharded over dp, the DB over tp (batch rounds up "
                     "to a dp multiple)")

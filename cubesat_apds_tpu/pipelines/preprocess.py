@@ -180,8 +180,16 @@ def preprocess(
         tile_batch = max(dp * ((tile_batch + dp - 1) // dp), dp)
         _place = lambda b: jax.device_put(  # noqa: E731
             b, NamedSharding(mesh, PartitionSpec("dp")))
+        # Extraction output REPLICATED over the mesh: on a multi-process
+        # (DCN) mesh each process otherwise holds only its dp shard and
+        # the host fetch below fails on the non-addressable remainder
+        # (every process ingests the full batch into its store copy).
+        _extract = jax.jit(
+            lambda b: detect_and_compute_batch(b, config.akaze),
+            out_shardings=NamedSharding(mesh, PartitionSpec()))
     else:
         _place = lambda b: b  # noqa: E731
+        _extract = lambda b: detect_and_compute_batch(b, config.akaze)  # noqa: E731,E501
 
     width, height = dataset.get_dimensions()
     if amount_lod is None:
@@ -254,7 +262,7 @@ def preprocess(
                                                or mesh is not None):
                 grays.append(jnp.zeros_like(grays[0]))
             batch = _place(jnp.stack(grays))
-            feats = detect_and_compute_batch(batch, config.akaze)
+            feats = _extract(batch)
 
             kp = feats.keypoints
             xy = np.asarray(kp.xy)

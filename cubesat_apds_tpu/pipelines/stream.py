@@ -29,7 +29,14 @@ import numpy as np
 
 from cubesat_apds_tpu.core.config import PipelineConfig
 from cubesat_apds_tpu.core.types import CameraModel
-from cubesat_apds_tpu.pipelines.localize import DeviceDb, localize_frame_jit
+from cubesat_apds_tpu.pipelines.localize import (
+    DeviceDb,
+    PrunedDeviceDb,
+    _pruned_back_half,
+    localize_frame_jit,
+    localize_frame_pruned_fallback_jit,
+    localize_frame_pruned_jit,
+)
 from cubesat_apds_tpu.utils.profiling import StageTimes
 
 
@@ -70,6 +77,69 @@ def _localize_packed(frame, db, camera, config, solve_pose):
                          r.pose)
 
 
+@functools.partial(jax.jit, static_argnames=("config", "solve_pose"))
+def _localize_pruned_packed(frame, pdb, camera, config, solve_pose):
+    """Pruned localization → [23] packed: the standard [21] plus
+    coarse_ok (21) and overflow (22) so the host can fall back to the
+    full-DB step without a second fetch."""
+    if frame.dtype == jnp.uint8:
+        frame = frame.astype(jnp.float32) / 255.0
+    pr = localize_frame_pruned_jit(frame, pdb, camera, config, solve_pose)
+    r = pr.result
+    base = _pack_outputs(r.homography, r.num_matches, r.num_keypoints,
+                         r.pose)
+    return jnp.concatenate([
+        base,
+        jnp.asarray([pr.coarse_ok], jnp.float32),
+        jnp.asarray([pr.overflow], jnp.float32),
+    ])
+
+
+@functools.partial(jax.jit, static_argnames=("config", "solve_pose"))
+def _localize_pruned_fallback_packed(frame, pdb, camera, config,
+                                     solve_pose):
+    """Full-DB fallback step → [23] packed (coarse_ok=1, overflow=0 —
+    the fallback IS the authoritative answer)."""
+    if frame.dtype == jnp.uint8:
+        frame = frame.astype(jnp.float32) / 255.0
+    r = localize_frame_pruned_fallback_jit(frame, pdb, camera, config,
+                                           solve_pose)
+    base = _pack_outputs(r.homography, r.num_matches, r.num_keypoints,
+                         r.pose)
+    return jnp.concatenate([base, jnp.ones(1), jnp.zeros(1)])
+
+
+def _make_pruned_batch_step(pdb, camera, config, solve_pose, margin=0.25):
+    """Micro-batched pruned step: extraction through
+    detect_and_compute_batch (batch-level capacity ladder), then the
+    pruned back half (coarse fix → device window → fine match) vmapped →
+    [B, 23] packed."""
+    from cubesat_apds_tpu.ops.features.akaze import detect_and_compute_batch
+
+    @jax.jit
+    def step(frames):
+        if frames.dtype == jnp.uint8:
+            frames = frames.astype(jnp.float32) / 255.0
+        hw = frames.shape[1:]
+        feats = detect_and_compute_batch(frames, config.akaze)
+
+        def one(f):
+            pr = _pruned_back_half(f, hw, pdb, camera, config,
+                                   solve_pose, margin)
+            r = pr.result
+            base = _pack_outputs(r.homography, r.num_matches,
+                                 r.num_keypoints, r.pose)
+            return jnp.concatenate([
+                base,
+                jnp.asarray([pr.coarse_ok], jnp.float32),
+                jnp.asarray([pr.overflow], jnp.float32),
+            ])
+
+        return jax.vmap(one)(feats)
+
+    return step
+
+
 def _make_local_batch_step(db, camera, config, solve_pose):
     """Single-device micro-batched packed step: extraction goes through
     detect_and_compute_batch (batch-level capacity ladder — vmapping
@@ -99,13 +169,24 @@ def _make_packed_batch_step(mesh, camera, config, solve_pose):
     "dp", DB sharded over "tp" (via parallel.serve.shard_device_db) →
     [B, 21] packed outputs. A thin wrapper (uint8→f32 + _pack_outputs)
     around parallel.serve.make_batch_localizer — the serve step is the
-    SINGLE definition of the mesh pipeline (VERDICT r2 weak #3)."""
+    SINGLE definition of the mesh pipeline (VERDICT r2 weak #3).
+
+    The packed output is explicitly REPLICATED over the mesh: on a
+    multi-process (DCN) mesh each process holds only its dp shard of a
+    compiler-placed output, and the stream loop's single host fetch
+    would fail on the non-addressable remainder — replication makes the
+    [B, 21] packed vector (tiny) fully addressable everywhere. The
+    frame batch is device_put to the dp sharding by the caller
+    (_device_step_batch)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     from cubesat_apds_tpu.parallel.serve import make_batch_localizer
 
     serve_step = make_batch_localizer(mesh, camera, config,
                                       solve_pose=solve_pose)
 
-    @jax.jit
+    @functools.partial(jax.jit,
+                       out_shardings=NamedSharding(mesh, P()))
     def step(frames, db):
         if frames.dtype == jnp.uint8:
             frames = frames.astype(jnp.float32) / 255.0
@@ -143,9 +224,17 @@ class StreamingLocalizer:
     trip instead of one. `mesh` composes the stream with the
     mesh-parallel serving step (frames over "dp", DB over "tp") — pass a
     DeviceDb already placed with parallel.serve.shard_device_db.
+
+    Passing a PrunedDeviceDb (pipelines.localize.load_pruned_device_db)
+    switches every frame to PRUNED serving: coarse fix → device-side
+    spatial window → fine match on the windowed subset (the store's
+    keypointdb.rs:67-90 query at serving scale). Composes with `batch`
+    and the CLI's --follow; frames whose coarse fix fails or whose
+    window overflows rerun synchronously through a full-DB fallback step
+    (`fallback_frames` counts them). Not composable with `mesh`.
     """
 
-    def __init__(self, db: DeviceDb, camera: CameraModel,
+    def __init__(self, db, camera: CameraModel,
                  config: PipelineConfig = PipelineConfig(),
                  solve_pose: bool = True, prefetch: int = 2,
                  transfer_uint8: bool = True, batch: int = 1,
@@ -160,6 +249,17 @@ class StreamingLocalizer:
         self.transfer_uint8 = transfer_uint8
         self.batch = max(int(batch), 1)
         self.mesh = mesh
+        # Pruned serving: a PrunedDeviceDb routes every frame through the
+        # device-side spatial window (keypointdb.rs:67-90 semantics at
+        # serving scale); rare coarse-miss / overflow frames rerun
+        # through the full-DB fallback step synchronously.
+        self._pruned = isinstance(db, PrunedDeviceDb)
+        self.fallback_frames = 0
+        if self._pruned and mesh is not None:
+            raise ValueError(
+                "pruned streaming composes with micro-batching, not with "
+                "a mesh (the spatial window is a single-device structure;"
+                " shard the full DB with --mesh instead)")
         if mesh is not None:
             dp = mesh.shape["dp"]
             if self.batch % dp:
@@ -167,16 +267,46 @@ class StreamingLocalizer:
             self._batch_step = _make_packed_batch_step(
                 mesh, camera, config, solve_pose)
         elif self.batch > 1:
-            self._batch_step = _make_local_batch_step(
-                db, camera, config, solve_pose)
+            self._batch_step = (
+                _make_pruned_batch_step(db, camera, config, solve_pose)
+                if self._pruned else
+                _make_local_batch_step(db, camera, config, solve_pose))
         self.times = StageTimes()
 
     def _device_step(self, frame_dev):
+        if self._pruned:
+            return _localize_pruned_packed(frame_dev, self.db, self.camera,
+                                           self.config, self.solve_pose)
         return _localize_packed(frame_dev, self.db, self.camera,
                                 self.config, self.solve_pose)
 
+    def _maybe_fallback(self, packed: np.ndarray, arr) -> np.ndarray:
+        """Pruned mode: rerun a coarse-miss / overflowed frame through
+        the full-DB fallback step (synchronous — rare by design)."""
+        if not self._pruned or arr is None or len(packed) < 23:
+            return packed
+        if packed[21] > 0 and packed[22] <= 0:
+            return packed
+        self.fallback_frames += 1
+        t0 = time.perf_counter()
+        out = _localize_pruned_fallback_packed(
+            arr, self.db, self.camera, self.config, self.solve_pose)
+        packed = np.asarray(out)
+        self.times.add("fallback", time.perf_counter() - t0)
+        return packed
+
     def _device_step_batch(self, frames_dev):
         if self.mesh is not None:
+            # Place the batch on the dp axis explicitly: every process
+            # of a multi-host mesh holds the SAME full batch (all
+            # processes watch the same frame source), and device_put
+            # from replicated host data is the supported way to form
+            # the global dp-sharded array (a bare local array would not
+            # match the mesh the step is compiled for).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            frames_dev = jax.device_put(
+                frames_dev, NamedSharding(self.mesh, P("dp")))
             return self._batch_step(frames_dev, self.db)
         return self._batch_step(frames_dev)
 
@@ -235,7 +365,8 @@ class StreamingLocalizer:
             t0 = time.perf_counter()
             out = self._device_step(arr)
             self.times.add("dispatch", time.perf_counter() - t0)
-            in_flight.append((i, t_enq, out))
+            in_flight.append((i, t_enq, out,
+                              arr if self._pruned else None))
             # Keep at most `prefetch` frames in the device queue.
             while len(in_flight) > self.prefetch:
                 yield self._finish(*in_flight.pop(0))
@@ -273,27 +404,33 @@ class StreamingLocalizer:
             batch_arr = jnp.stack([p[1] for p in pend])
             out = self._device_step_batch(batch_arr)
             self.times.add("dispatch", time.perf_counter() - t0)
-            in_flight.append((ids, t_enq, out, n_real))
+            in_flight.append((ids, t_enq, out, n_real,
+                              batch_arr if self._pruned else None))
             pend = []
             while len(in_flight) > max(self.prefetch // self.batch, 1):
                 yield from self._finish_batch(*in_flight.pop(0))
         while in_flight:
             yield from self._finish_batch(*in_flight.pop(0))
 
-    def _finish_batch(self, ids, t_enq, out, n_real):
+    def _finish_batch(self, ids, t_enq, out, n_real, batch_arr=None):
         t0 = time.perf_counter()
         packed = np.asarray(out)                   # ONE D2H fetch per batch
         self.times.add("device_wait", time.perf_counter() - t0)
         now = time.perf_counter()
         for b in range(n_real):
-            res = self._unpack(ids[b], packed[b], now - t_enq[b])
+            row = packed[b]
+            if batch_arr is not None:
+                row = self._maybe_fallback(row, batch_arr[b])
+            res = self._unpack(ids[b], row, now - t_enq[b])
             self.times.add("total_latency", res.latency_s)
             yield res
 
-    def _finish(self, frame_id: int, t_enq: float, out) -> StreamResult:
+    def _finish(self, frame_id: int, t_enq: float, out,
+                arr=None) -> StreamResult:
         t0 = time.perf_counter()
         packed = np.asarray(out)            # single D2H fetch
         self.times.add("device_wait", time.perf_counter() - t0)
+        packed = self._maybe_fallback(packed, arr)
         res = self._unpack(frame_id, packed,
                            time.perf_counter() - t_enq)
         self.times.add("total_latency", res.latency_s)

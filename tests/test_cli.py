@@ -263,6 +263,80 @@ def test_cli_localize_coarse_to_fine(scene, capsys):
         assert out["window"] is not None and len(out["window"]) == 4
 
 
+def test_cli_localize_pruned(scene, capsys):
+    """--pruned serves through the device-side CSR spatial window
+    (keypointdb.rs:67-90 at serving scale) and agrees with the plain
+    full-DB localize."""
+    tmp_path, tiles, img = scene
+    store_dir = str(tmp_path / "prstore")
+    rc = main(["preprocess", "--dataset", str(tiles), "--store", store_dir,
+               "--lod", "2"])
+    assert rc == 0
+
+    from PIL import Image
+
+    frame_path = str(tmp_path / "frame.png")
+    Image.fromarray((img * 255).astype(np.uint8)).save(frame_path)
+    rc = main(["localize", "--store", store_dir, "--frame", frame_path])
+    full = json.loads(_last_json(capsys))
+    rc = main(["localize", "--store", store_dir, "--frame", frame_path,
+               "--pruned"])
+    assert rc == 0
+    out = json.loads(_last_json(capsys))
+    assert out["pruned"]["coarse_ok"]
+    assert len(out["pruned"]["window"]) == 4
+    assert out["keypoints"] == full["keypoints"]
+    if full["homography_ok"] and out["homography_ok"]:
+        np.testing.assert_allclose(out["homography"], full["homography"],
+                                   atol=0.5)
+    # The two pruning strategies are exclusive.
+    with pytest.raises(SystemExit):
+        main(["localize", "--store", store_dir, "--frame", frame_path,
+              "--pruned", "--coarse-to-fine"])
+
+
+def _last_json(capsys):
+    captured = capsys.readouterr().out
+    return captured[captured.index("{"):]
+
+
+def test_cli_stream_pruned(scene, capsys):
+    """`stream --pruned` composes the pruned step with micro-batching;
+    summary reports the fallback count; --mesh is refused."""
+    tmp_path, tiles, img = scene
+    store_dir = str(tmp_path / "prsstore")
+    rc = main(["preprocess", "--dataset", str(tiles), "--store", store_dir,
+               "--lod", "2"])
+    assert rc == 0
+
+    from PIL import Image
+
+    frames_dir = tmp_path / "prframes"
+    frames_dir.mkdir()
+    names = []
+    for i in range(3):
+        p = str(frames_dir / f"f{i}.png")
+        Image.fromarray(
+            (np.roll(img, i * 2, axis=1) * 255).astype(np.uint8)).save(p)
+        names.append(p)
+    rc = main(["stream", "--store", store_dir, "--frames", str(frames_dir),
+               "--batch", "2", "--pruned"])
+    assert rc == 0
+    lines = [json.loads(l) for l in
+             capsys.readouterr().out.strip().splitlines()
+             if l.startswith("{")]
+    recs = [l for l in lines if "frame" in l]
+    assert [r["frame"] for r in recs] == names
+    assert all(r["keypoints"] > 0 for r in recs)
+    summary = lines[-1]["summary"]
+    assert summary["frames"] == 3 and summary["pruned"] is True
+    assert "fallback_frames" in summary
+
+    with pytest.raises(SystemExit):
+        main(["stream", "--store", store_dir, "--frames", str(frames_dir),
+              "--pruned", "--mesh", "1x2"])
+
+
 def test_cli_preprocess_devices_mesh(scene, capsys):
     """`-c/--devices N` (the reference preprocessor's --cpu-num
     analogue) shards each tile batch over a dp mesh; the store must be

@@ -145,3 +145,82 @@ def test_pruned_coarse_failure_is_reported(scene):
     pdb = make_pruned_db(db, bad, window_capacity=1024)
     pr = localize_frame_pruned_jit(frame, pdb, CAM, CFG, solve_pose=False)
     assert not bool(pr.coarse_ok)
+
+
+def test_pruned_fallback_equals_full_db(scene):
+    """The row-table fallback step must reproduce the plain full-DB
+    step exactly (same descriptors/xy/obj reconstructed, same matches)."""
+    from cubesat_apds_tpu.pipelines.localize import (
+        localize_frame_pruned_fallback_jit, make_pruned_db)
+
+    frame, db, coarse = scene
+    pdb = make_pruned_db(db, coarse, window_capacity=1024)
+    fb = localize_frame_pruned_fallback_jit(frame, pdb, CAM, CFG,
+                                            solve_pose=True)
+    full = localize_frame_jit(frame, db, CAM, CFG, solve_pose=True)
+    assert bool(fb.homography.ok) and bool(full.homography.ok)
+    np.testing.assert_allclose(np.asarray(fb.homography.H),
+                               np.asarray(full.homography.H), atol=0.5)
+    assert int(fb.num_matches) == int(full.num_matches)
+    np.testing.assert_allclose(np.asarray(fb.pose.rvec),
+                               np.asarray(full.pose.rvec), atol=5e-2)
+
+
+def test_streaming_pruned(scene):
+    """StreamingLocalizer with a PrunedDeviceDb: per-frame results equal
+    the one-shot pruned step, for batch=1 and micro-batched."""
+    from cubesat_apds_tpu.pipelines.localize import make_pruned_db
+    from cubesat_apds_tpu.pipelines.stream import StreamingLocalizer
+
+    frame, db, coarse = scene
+    pdb = make_pruned_db(db, coarse, window_capacity=1024)
+    ref = localize_frame_pruned_jit(frame, pdb, CAM, CFG, solve_pose=True)
+    frames = [np.asarray(frame)] * 3
+    for batch in (1, 2):
+        s = StreamingLocalizer(pdb, CAM, CFG, solve_pose=True,
+                               batch=batch, transfer_uint8=False)
+        results = list(s.run(frames))
+        assert len(results) == 3
+        assert s.fallback_frames == 0
+        for r in results:
+            assert r.homography_ok
+            np.testing.assert_allclose(
+                r.homography, np.asarray(ref.result.homography.H),
+                atol=0.5)
+            assert r.pose_ok
+
+
+def test_streaming_pruned_fallback(scene):
+    """Coarse-miss frames rerun through the full-DB fallback: with an
+    unmatchable coarse DB every frame falls back, and the answers equal
+    the full-DB step."""
+    from cubesat_apds_tpu.pipelines.localize import make_pruned_db
+    from cubesat_apds_tpu.pipelines.stream import StreamingLocalizer
+
+    frame, db, _coarse = scene
+    bad = DeviceDb(
+        descriptors=jnp.zeros((256, 61), jnp.uint8),
+        xy=jnp.zeros((256, 2), jnp.float32),
+        valid=jnp.zeros(256, bool),
+        obj_points=jnp.zeros((256, 3), jnp.float32), has_world=True)
+    pdb = make_pruned_db(db, bad, window_capacity=1024)
+    full = localize_frame_jit(frame, db, CAM, CFG, solve_pose=True)
+    s = StreamingLocalizer(pdb, CAM, CFG, solve_pose=True,
+                           transfer_uint8=False)
+    results = list(s.run([np.asarray(frame)] * 2))
+    assert s.fallback_frames == 2
+    for r in results:
+        assert r.homography_ok
+        np.testing.assert_allclose(r.homography,
+                                   np.asarray(full.homography.H), atol=0.5)
+
+
+def test_streaming_pruned_rejects_mesh(scene):
+    from cubesat_apds_tpu.pipelines.localize import make_pruned_db
+    from cubesat_apds_tpu.pipelines.stream import StreamingLocalizer
+    from cubesat_apds_tpu.parallel.mesh import make_mesh
+
+    frame, db, coarse = scene
+    pdb = make_pruned_db(db, coarse)
+    with pytest.raises(ValueError, match="pruned streaming"):
+        StreamingLocalizer(pdb, CAM, CFG, mesh=make_mesh(dp=2, tp=4))
