@@ -44,8 +44,18 @@ def initialize_distributed(coordinator: Optional[str] = None,
         num_processes = int(os.environ["APDS_NUM_PROCESSES"])
     if process_id is None and os.environ.get("APDS_PROCESS_ID"):
         process_id = int(os.environ["APDS_PROCESS_ID"])
-    if coordinator is None and num_processes is None:
+    if coordinator is None and num_processes is None and process_id is None:
         return False
+    if coordinator is None or num_processes is None or process_id is None:
+        missing = [name for name, v in
+                   (("APDS_COORDINATOR", coordinator),
+                    ("APDS_NUM_PROCESSES", num_processes),
+                    ("APDS_PROCESS_ID", process_id)) if v is None]
+        raise ValueError(
+            "partial distributed configuration: set all of "
+            "APDS_COORDINATOR, APDS_NUM_PROCESSES and APDS_PROCESS_ID "
+            f"(or none of them for a single-process run); missing: "
+            f"{', '.join(missing)}")
     # NOTE: nothing before this point may touch the XLA backend —
     # jax.distributed.initialize must run first (even jax.process_count
     # would initialize it).

