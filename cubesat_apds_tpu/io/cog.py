@@ -22,10 +22,11 @@ interoperable artifact instead of the proprietary npy+manifest directory
     read_bands_window), so mosaics larger than RAM spool through in
     tile-row bands. Overview pyramids accumulate in temp memmaps.
 
-Deliberately classic TIFF (32-bit offsets): files that would exceed 4 GB
-raise with a pointer at the npy materialization path — the BigTIFF leg
-of the reference's IF_SAFER is not implemented (the native decoder and
-PIL would both need BigTIFF read support to round-trip it).
+IF_SAFER semantics (the reference's BIGTIFF creation option, geotiff
+mod.rs:389-399): classic TIFF (version 42, 32-bit offsets) whenever the
+layout fits, automatic BigTIFF (version 43, 64-bit offsets, 20-byte IFD
+entries) when it would exceed 4 GB — continental mosaics keep scaling.
+Both io/tiff.py and the native decoder read either version back.
 """
 
 from __future__ import annotations
@@ -64,8 +65,11 @@ _TY_ASCII = 2
 _TY_SHORT = 3
 _TY_LONG = 4
 _TY_DOUBLE = 12
-_TY_SIZE = {_TY_ASCII: 1, _TY_SHORT: 2, _TY_LONG: 4, _TY_DOUBLE: 8}
-_TY_FMT = {_TY_SHORT: "<H", _TY_LONG: "<I", _TY_DOUBLE: "<d"}
+_TY_LONG8 = 16                        # BigTIFF 64-bit unsigned
+_TY_SIZE = {_TY_ASCII: 1, _TY_SHORT: 2, _TY_LONG: 4, _TY_DOUBLE: 8,
+            _TY_LONG8: 8}
+_TY_FMT = {_TY_SHORT: "<H", _TY_LONG: "<I", _TY_DOUBLE: "<d",
+           _TY_LONG8: "<Q"}
 
 _CLASSIC_LIMIT = (1 << 32) - (1 << 20)  # headroom under 32-bit offsets
 
@@ -103,7 +107,8 @@ def _predict3(rows: np.ndarray) -> bytes:
     return planes.astype(np.uint8).tobytes()
 
 
-def _tile_bytes(tile: np.ndarray, predictor: int) -> bytes:
+def _tile_bytes(tile: np.ndarray, predictor: int,
+                deflate: bool = True) -> bytes:
     """Compress one padded [th, tw, C] tile per the chosen predictor."""
     if predictor == 2:
         raw = _predict2(tile).tobytes()
@@ -111,7 +116,7 @@ def _tile_bytes(tile: np.ndarray, predictor: int) -> bytes:
         raw = _predict3(tile)
     else:
         raw = np.ascontiguousarray(tile).tobytes()
-    return zlib.compress(raw, 6)
+    return zlib.compress(raw, 6) if deflate else raw
 
 
 def _geo_key_directory(epsg: int) -> Tuple[int, ...]:
@@ -124,10 +129,16 @@ def _geo_key_directory(epsg: int) -> Tuple[int, ...]:
 
 
 class _Ifd:
-    """One IFD under construction: (tag, type, values) entries."""
+    """One IFD under construction: (tag, type, values) entries.
 
-    def __init__(self):
+    `big=True` serializes the BigTIFF (version 43) layout: 8-byte entry
+    counts and next-IFD pointers, 20-byte entries with 8-byte inline
+    value slots — the reference's BIGTIFF=IF_SAFER leg
+    (geotiff_extractor/src/image_extractor/mod.rs:389-399)."""
+
+    def __init__(self, big: bool = False):
         self.entries: List[Tuple[int, int, Sequence]] = []
+        self.big = big
 
     def add(self, tag: int, ty: int, values) -> None:
         if ty == _TY_ASCII:
@@ -137,17 +148,22 @@ class _Ifd:
             self.entries.append((tag, ty, tuple(values)))
 
     def nbytes(self) -> Tuple[int, int]:
-        """(ifd struct bytes, overflow bytes) — classic layout."""
+        """(ifd struct bytes, overflow bytes)."""
+        inline = 8 if self.big else 4
+        entry = 20 if self.big else 12
+        head = 8 if self.big else 2
+        tail = 8 if self.big else 4
         over = 0
         for _tag, ty, values in self.entries:
             total = _TY_SIZE[ty] * len(values)
-            if total > 4:
+            if total > inline:
                 over += total + (total & 1)
-        return 2 + 12 * len(self.entries) + 4, over
+        return head + entry * len(self.entries) + tail, over
 
     def emit(self, overflow_at: int, next_ifd: int) -> Tuple[bytes, bytes]:
         """Serialize with out-of-line values placed at overflow_at."""
-        body = struct.pack("<H", len(self.entries))
+        inline = 8 if self.big else 4
+        body = struct.pack("<Q" if self.big else "<H", len(self.entries))
         overflow = b""
         for tag, ty, values in sorted(self.entries):
             if ty == _TY_ASCII:
@@ -156,21 +172,26 @@ class _Ifd:
                 payload = b"".join(struct.pack(_TY_FMT[ty], v)
                                    for v in values)
             count = len(values)
-            if len(payload) <= 4:
-                val = payload.ljust(4, b"\0")
+            if len(payload) <= inline:
+                val = payload.ljust(inline, b"\0")
             else:
-                val = struct.pack("<I", overflow_at + len(overflow))
+                val = struct.pack("<Q" if self.big else "<I",
+                                  overflow_at + len(overflow))
                 overflow += payload + (b"\0" if len(payload) & 1 else b"")
-            body += struct.pack("<HHI", tag, ty, count) + val
-        body += struct.pack("<I", next_ifd)
+            if self.big:
+                body += struct.pack("<HHQ", tag, ty, count) + val
+            else:
+                body += struct.pack("<HHI", tag, ty, count) + val
+        body += struct.pack("<Q" if self.big else "<I", next_ifd)
         return body, overflow
 
 
 def _build_ifd(width: int, height: int, c: int, dtype, tile: int,
                predictor: int, n_tiles: int, *, reduced: bool,
                geotransform=None, epsg: Optional[int] = None,
-               nodata=None) -> _Ifd:
-    ifd = _Ifd()
+               nodata=None, big: bool = False,
+               deflate: bool = True) -> _Ifd:
+    ifd = _Ifd(big)
     bits = dtype.itemsize * 8
     fmt = 3 if dtype.kind == "f" else 1
     if reduced:
@@ -178,7 +199,7 @@ def _build_ifd(width: int, height: int, c: int, dtype, tile: int,
     ifd.add(_T_WIDTH, _TY_LONG, [width])
     ifd.add(_T_HEIGHT, _TY_LONG, [height])
     ifd.add(_T_BITS_PER_SAMPLE, _TY_SHORT, [bits] * c)
-    ifd.add(_T_COMPRESSION, _TY_SHORT, [8])
+    ifd.add(_T_COMPRESSION, _TY_SHORT, [8 if deflate else 1])
     # True RGB only for uint8 3/4-band; float/uint16 multiband is
     # MinIsBlack + extra samples (GDAL's convention — no RGB-float TIFF
     # mode exists in most readers).
@@ -190,7 +211,8 @@ def _build_ifd(width: int, height: int, c: int, dtype, tile: int,
         ifd.add(_T_PREDICTOR, _TY_SHORT, [predictor])
     ifd.add(_T_TILE_WIDTH, _TY_SHORT, [tile])
     ifd.add(_T_TILE_LENGTH, _TY_SHORT, [tile])
-    ifd.add(_T_TILE_OFFSETS, _TY_LONG, [0] * n_tiles)      # patched later
+    ifd.add(_T_TILE_OFFSETS, _TY_LONG8 if big else _TY_LONG,
+            [0] * n_tiles)                                 # patched later
     ifd.add(_T_TILE_BYTE_COUNTS, _TY_LONG, [0] * n_tiles)  # patched later
     extras = c - (3 if rgb else 1)
     if extras > 0:
@@ -228,14 +250,23 @@ def _downsample2(level: np.ndarray) -> np.ndarray:
 
 def write_cog(path: str, source, geotransform, *, nodata=None,
               epsg: Optional[int] = None, tile: int = 512,
-              overviews: bool = True) -> None:
+              overviews: bool = True,
+              compression: str = "deflate") -> None:
     """Write an interoperable cloud-optimized GeoTIFF.
 
     `source` is a [C, H, W] ndarray (uint8/uint16/float32) or any object
     with the raster-access protocol (width/height/n_bands +
     read_bands_window), in which case pixel data streams through in
     tile-row bands and whole-image RAM is never required.
+
+    `compression`: "deflate" (Adobe deflate + predictor, the default)
+    or "none" (COMPRESS=NONE analogue — IO-bound producers where zlib
+    would dominate the wall clock).
     """
+    if compression not in ("deflate", "none"):
+        raise ValueError(f"compression must be 'deflate' or 'none', "
+                         f"got {compression!r}")
+    deflate = compression == "deflate"
     if isinstance(source, np.ndarray):
         if source.ndim == 2:
             source = source[None]
@@ -249,7 +280,7 @@ def write_cog(path: str, source, geotransform, *, nodata=None,
                      np.dtype(np.float32)):
         raise ValueError(f"write_cog supports uint8/uint16/float32, "
                          f"got {dtype}")
-    predictor = 3 if dtype.kind == "f" else 2
+    predictor = (3 if dtype.kind == "f" else 2) if deflate else 1
 
     # Level geometry: halve until the level fits in one tile (the COG
     # overview ladder; GDAL stops at ~tile size too).
@@ -284,6 +315,19 @@ def write_cog(path: str, source, geotransform, *, nodata=None,
             if nxt is not None and th >= 1:
                 ds = _downsample2(band[:th // 2 * 2])
                 nxt[ty0 // 2:ty0 // 2 + ds.shape[0], :ds.shape[1]] = ds
+                if w % 2 and ds.shape[0]:
+                    # odd trailing column: the 2× decimation covers only
+                    # w//2 output columns while the level is (w+1)//2
+                    # wide — fill the last column from the source's last
+                    # column, decimated vertically (else every external
+                    # reader shows a black seam down the preview).
+                    tc = band[:ds.shape[0] * 2, w - 1, :].reshape(
+                        ds.shape[0], 2, c)
+                    t_ds = (np.nanmean(tc.astype(np.float64), 1)
+                            if dtype.kind == "f"
+                            else tc.astype(np.uint32).mean(1) + 0.5)
+                    nxt[ty0 // 2:ty0 // 2 + ds.shape[0], w // 2] = \
+                        t_ds.astype(dtype)
                 if th % 2 and ty0 + th == h and ty0 // 2 + ds.shape[0] < len(nxt):
                     # odd trailing row: decimate it alone
                     tail = band[th - 1:th]
@@ -303,7 +347,7 @@ def write_cog(path: str, source, geotransform, *, nodata=None,
                     full[th:] = full[th - 1]   # the predictor stays cheap
                 if tw_ < tile:
                     full[:, tw_:] = full[:, tw_ - 1:tw_]
-                blob = _tile_bytes(full, predictor)
+                blob = _tile_bytes(full, predictor, deflate)
                 spool.write(blob)
                 sizes[lvl].append(len(blob))
         if nxt is not None:
@@ -312,39 +356,44 @@ def write_cog(path: str, source, geotransform, *, nodata=None,
 
     # Layout: header | IFD chain (+ overflow values) | tile data with
     # overviews FIRST (low-res preview readable from a file prefix).
-    ifds = []
-    for lvl, (h, w) in enumerate(dims):
-        ifds.append(_build_ifd(
-            w, h, c, dtype, tile, predictor, tiles_of(h, w),
-            reduced=lvl > 0, geotransform=geotransform, epsg=epsg,
-            nodata=nodata))
-    pos = 8
-    ifd_at, over_at = [], []
-    for ifd in ifds:
-        nb, _ov = ifd.nbytes()
-        ifd_at.append(pos)
-        pos += nb
-    for ifd in ifds:
-        _nb, ov = ifd.nbytes()
-        over_at.append(pos)
-        pos += ov
-    data_at = pos + (pos & 1)
-
-    # Tile data offsets: overview levels (deepest first), then level 0.
+    # Classic (version 42, 32-bit offsets) first; if the layout would
+    # exceed 32-bit offsets, relay out as BigTIFF (version 43, 64-bit) —
+    # the IF_SAFER semantics of the reference's creation options
+    # (geotiff mod.rs:389-399).
     write_order = list(range(len(dims) - 1, 0, -1)) + [0]
-    offsets: List[List[int]] = [[] for _ in dims]
-    cur = data_at
-    for lvl in write_order:
-        for s in sizes[lvl]:
-            offsets[lvl].append(cur)
-            cur += s
+
+    def layout(big: bool):
+        ifds = []
+        for lvl, (h, w) in enumerate(dims):
+            ifds.append(_build_ifd(
+                w, h, c, dtype, tile, predictor, tiles_of(h, w),
+                reduced=lvl > 0, geotransform=geotransform, epsg=epsg,
+                nodata=nodata, big=big, deflate=deflate))
+        pos = 16 if big else 8
+        ifd_at, over_at = [], []
+        for ifd in ifds:
+            nb, _ov = ifd.nbytes()
+            ifd_at.append(pos)
+            pos += nb
+        for ifd in ifds:
+            _nb, ov = ifd.nbytes()
+            over_at.append(pos)
+            pos += ov
+        data_at = pos + (pos & 1)
+        # Tile data offsets: overview levels (deepest first), level 0 last.
+        offsets: List[List[int]] = [[] for _ in dims]
+        cur = data_at
+        for lvl in write_order:
+            for s in sizes[lvl]:
+                offsets[lvl].append(cur)
+                cur += s
+        return ifds, ifd_at, over_at, data_at, offsets, cur
+
+    big = False
+    ifds, ifd_at, over_at, data_at, offsets, cur = layout(False)
     if cur > _CLASSIC_LIMIT:
-        spool.close()
-        tmpdir.cleanup()
-        raise ValueError(
-            f"COG would be {cur / 2**30:.1f} GiB — beyond classic TIFF's "
-            "32-bit offsets. Use materialize(format='npy') for mosaics "
-            "this large (BigTIFF writing is not implemented).")
+        big = True
+        ifds, ifd_at, over_at, data_at, offsets, cur = layout(True)
     for ifd, offs, szs in zip(ifds, offsets, sizes):
         for i, (tag, ty, _v) in enumerate(ifd.entries):
             if tag == _T_TILE_OFFSETS:
@@ -354,7 +403,11 @@ def write_cog(path: str, source, geotransform, *, nodata=None,
 
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
-        f.write(struct.pack("<2sHI", b"II", 42, ifd_at[0]))
+        if big:
+            # BigTIFF header: II, 43, bytesize-of-offsets 8, pad 0, IFD0.
+            f.write(struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_at[0]))
+        else:
+            f.write(struct.pack("<2sHI", b"II", 42, ifd_at[0]))
         for k, ifd in enumerate(ifds):
             nxt = ifd_at[k + 1] if k + 1 < len(ifds) else 0
             body, overflow = ifd.emit(over_at[k], nxt)

@@ -3,12 +3,14 @@
 //
 // Role: the GDAL raster-read replacement's hot loop (reference:
 // geotiff_extractor reads via GDAL C FFI; our PIL fallback is
-// single-threaded Python). Scope: classic TIFF (not BigTIFF), both
-// endiannesses, strips or tiles, compression none(1) / zlib deflate
-// (8, 32946), horizontal differencing predictor(2), floating-point
-// predictor(3, TIFF TechNote 3 — what io/cog.py writes for f32),
-// uint8/uint16/float32, contiguous (chunky) sample layout. Anything
-// else → caller falls back to PIL (the wrapper checks tiff_supported()).
+// single-threaded Python). Scope: classic TIFF (version 42) AND BigTIFF
+// (version 43, 64-bit offsets — what io/cog.py emits past 4 GB, the
+// reference's BIGTIFF=IF_SAFER leg), both endiannesses, strips or
+// tiles, compression none(1) / zlib deflate (8, 32946), horizontal
+// differencing predictor(2), floating-point predictor(3, TIFF TechNote
+// 3 — what io/cog.py writes for f32), uint8/uint16/float32, contiguous
+// (chunky) sample layout. Anything else → caller falls back to PIL
+// (the wrapper checks tiff_supported()).
 //
 // Build: g++ -O3 -march=native -shared -fPIC tiff_decode.cc -o libtiff_decode.so -lz -lpthread
 
@@ -43,6 +45,12 @@ struct Reader {
     if (swap) v = __builtin_bswap32(v);
     return v;
   }
+  uint64_t u64(size_t off) const {
+    uint64_t v;
+    std::memcpy(&v, p + off, 8);
+    if (swap) v = __builtin_bswap64(v);
+    return v;
+  }
 };
 
 struct Tiff {
@@ -64,18 +72,27 @@ struct Tiff {
   std::vector<uint64_t> counts;
 };
 
-// Read a tag's value array as uint64s (SHORT=3, LONG=4 supported).
-bool tag_values(const Reader& r, size_t entry, std::vector<uint64_t>* out) {
+// Read a tag's value array as uint64s (SHORT=3, LONG=4, LONG8=16
+// supported; `big` selects the BigTIFF 20-byte entry layout with an
+// 8-byte count field and 8-byte inline value slot).
+bool tag_values(const Reader& r, size_t entry, bool big,
+                std::vector<uint64_t>* out) {
   uint16_t type = r.u16(entry + 2);
-  uint32_t count = r.u32(entry + 4);
-  size_t elem = (type == 3) ? 2 : (type == 4) ? 4 : 0;
+  uint64_t count = big ? r.u64(entry + 4) : r.u32(entry + 4);
+  size_t elem = (type == 3) ? 2 : (type == 4) ? 4 : (type == 16) ? 8 : 0;
   if (elem == 0) return false;
+  size_t val_at = entry + (big ? 12 : 8);
+  size_t inline_cap = big ? 8 : 4;
   size_t total = elem * count;
-  size_t src = (total <= 4) ? entry + 8 : r.u32(entry + 8);
+  size_t src = (total <= inline_cap)
+                   ? val_at
+                   : (big ? r.u64(val_at) : r.u32(val_at));
   if (src + total > r.n) return false;
   out->resize(count);
-  for (uint32_t i = 0; i < count; ++i) {
-    (*out)[i] = (elem == 2) ? r.u16(src + 2 * i) : r.u32(src + 4 * i);
+  for (uint64_t i = 0; i < count; ++i) {
+    (*out)[i] = (elem == 2)   ? r.u16(src + 2 * i)
+                : (elem == 4) ? r.u32(src + 4 * i)
+                              : r.u64(src + 8 * i);
   }
   return true;
 }
@@ -87,32 +104,45 @@ bool parse(Tiff* t) {
   bool be = (r.p[0] == 'M' && r.p[1] == 'M');
   if (!le && !be) return false;
   const_cast<Reader&>(t->r).swap = be;  // host assumed little-endian
-  if (t->r.u16(2) != 42) return false;  // BigTIFF (43) unsupported
-  size_t ifd = t->r.u32(4);
-  if (ifd + 2 > r.n) return false;
-  uint16_t n_entries = t->r.u16(ifd);
+  uint16_t version = t->r.u16(2);
+  bool big = false;
+  size_t ifd;
+  if (version == 42) {
+    ifd = t->r.u32(4);
+  } else if (version == 43) {  // BigTIFF
+    if (r.n < 16) return false;
+    if (t->r.u16(4) != 8 || t->r.u16(6) != 0) return false;
+    big = true;
+    ifd = t->r.u64(8);
+  } else {
+    return false;
+  }
+  size_t entry_sz = big ? 20 : 12;
+  size_t head_sz = big ? 8 : 2;
+  if (ifd + head_sz > r.n) return false;
+  uint64_t n_entries = big ? t->r.u64(ifd) : t->r.u16(ifd);
   std::vector<uint64_t> v;
   uint32_t rows_per_strip = 0xFFFFFFFFu;
-  for (uint16_t i = 0; i < n_entries; ++i) {
-    size_t e = ifd + 2 + 12 * i;
-    if (e + 12 > r.n) return false;
+  for (uint64_t i = 0; i < n_entries; ++i) {
+    size_t e = ifd + head_sz + entry_sz * i;
+    if (e + entry_sz > r.n) return false;
     uint16_t tag = t->r.u16(e);
     switch (tag) {
-      case 256: if (tag_values(t->r, e, &v)) t->width = v[0]; break;
-      case 257: if (tag_values(t->r, e, &v)) t->height = v[0]; break;
-      case 258: if (tag_values(t->r, e, &v)) t->bits = v[0]; break;
-      case 259: if (tag_values(t->r, e, &v)) t->compression = v[0]; break;
-      case 273: if (tag_values(t->r, e, &v)) t->offsets = v; break;
-      case 277: if (tag_values(t->r, e, &v)) t->samples = v[0]; break;
-      case 278: if (tag_values(t->r, e, &v)) rows_per_strip = v[0]; break;
-      case 279: if (tag_values(t->r, e, &v)) t->counts = v; break;
-      case 284: if (tag_values(t->r, e, &v)) t->planar = v[0]; break;
-      case 317: if (tag_values(t->r, e, &v)) t->predictor = v[0]; break;
-      case 322: if (tag_values(t->r, e, &v)) { t->tile_w = v[0]; t->tiled = true; } break;
-      case 323: if (tag_values(t->r, e, &v)) t->tile_h = v[0]; break;
-      case 324: if (tag_values(t->r, e, &v)) { t->offsets = v; t->tiled = true; } break;
-      case 325: if (tag_values(t->r, e, &v)) t->counts = v; break;
-      case 339: if (tag_values(t->r, e, &v)) t->sample_format = v[0]; break;
+      case 256: if (tag_values(t->r, e, big, &v)) t->width = v[0]; break;
+      case 257: if (tag_values(t->r, e, big, &v)) t->height = v[0]; break;
+      case 258: if (tag_values(t->r, e, big, &v)) t->bits = v[0]; break;
+      case 259: if (tag_values(t->r, e, big, &v)) t->compression = v[0]; break;
+      case 273: if (tag_values(t->r, e, big, &v)) t->offsets = v; break;
+      case 277: if (tag_values(t->r, e, big, &v)) t->samples = v[0]; break;
+      case 278: if (tag_values(t->r, e, big, &v)) rows_per_strip = v[0]; break;
+      case 279: if (tag_values(t->r, e, big, &v)) t->counts = v; break;
+      case 284: if (tag_values(t->r, e, big, &v)) t->planar = v[0]; break;
+      case 317: if (tag_values(t->r, e, big, &v)) t->predictor = v[0]; break;
+      case 322: if (tag_values(t->r, e, big, &v)) { t->tile_w = v[0]; t->tiled = true; } break;
+      case 323: if (tag_values(t->r, e, big, &v)) t->tile_h = v[0]; break;
+      case 324: if (tag_values(t->r, e, big, &v)) { t->offsets = v; t->tiled = true; } break;
+      case 325: if (tag_values(t->r, e, big, &v)) t->counts = v; break;
+      case 339: if (tag_values(t->r, e, big, &v)) t->sample_format = v[0]; break;
       default: break;
     }
   }

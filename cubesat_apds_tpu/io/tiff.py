@@ -55,27 +55,45 @@ def _read_tags(path: str) -> dict:
     tags: dict = {}
     try:
         with open(path, "rb") as f:
-            head = f.read(8)
+            head = f.read(16)
             if len(head) < 8 or head[:2] not in (b"II", b"MM"):
                 return tags
             bo = "<" if head[:2] == b"II" else ">"
-            if struct.unpack(bo + "H", head[2:4])[0] != 42:
+            version = struct.unpack(bo + "H", head[2:4])[0]
+            if version == 42:
+                big = False
+                ifd = struct.unpack(bo + "I", head[4:8])[0]
+            elif version == 43:    # BigTIFF (io/cog.py past 4 GB)
+                if len(head) < 16 or \
+                        struct.unpack(bo + "H", head[4:6])[0] != 8:
+                    return tags
+                big = True
+                ifd = struct.unpack(bo + "Q", head[8:16])[0]
+            else:
                 return tags
-            ifd = struct.unpack(bo + "I", head[4:8])[0]
+            entry_sz = 20 if big else 12
+            inline = 8 if big else 4
             f.seek(ifd)
-            n = struct.unpack(bo + "H", f.read(2))[0]
-            entries = f.read(12 * n)
-            sizes = {1: 1, 2: 1, 3: 2, 4: 4, 11: 4, 12: 8}
-            fmts = {1: "B", 2: "s", 3: "H", 4: "I", 11: "f", 12: "d"}
+            if big:
+                n = struct.unpack(bo + "Q", f.read(8))[0]
+            else:
+                n = struct.unpack(bo + "H", f.read(2))[0]
+            entries = f.read(entry_sz * n)
+            sizes = {1: 1, 2: 1, 3: 2, 4: 4, 11: 4, 12: 8, 16: 8}
+            fmts = {1: "B", 2: "s", 3: "H", 4: "I", 11: "f", 12: "d",
+                    16: "Q"}
             for i in range(n):
-                tag, ty, cnt = struct.unpack(
-                    bo + "HHI", entries[12 * i:12 * i + 8])
+                e = entries[entry_sz * i:entry_sz * (i + 1)]
+                tag, ty = struct.unpack(bo + "HH", e[:4])
+                cnt = struct.unpack(bo + ("Q" if big else "I"),
+                                    e[4:4 + (8 if big else 4)])[0]
                 if ty not in sizes:
                     continue
                 total = sizes[ty] * cnt
-                raw = entries[12 * i + 8:12 * i + 12]
-                if total > 4:
-                    off = struct.unpack(bo + "I", raw)[0]
+                raw = e[entry_sz - inline:]
+                if total > inline:
+                    off = struct.unpack(bo + ("Q" if big else "I"),
+                                        raw)[0]
                     f.seek(off)
                     raw = f.read(total)
                 if ty == 2:

@@ -1,6 +1,8 @@
 """GeoTIFF IO + mosaic tests (synthetic fixtures replacing the reference's
 resources/test tree — SURVEY.md §4 notes it is absent upstream)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -514,12 +516,90 @@ def test_from_materialized_accepts_bare_tif(tmp_path, rng):
         ds.read_window(0, 0, 260, 200, bands=(1, 2, 3)), bands)
 
 
-def test_cog_classic_size_guard(tmp_path, rng, monkeypatch):
-    """>4 GB output raises the documented BigTIFF-unimplemented error
-    instead of writing corrupt 32-bit offsets."""
+def test_cog_bigtiff_roundtrip(tmp_path, rng, monkeypatch):
+    """Past the 32-bit-offset limit write_cog switches to BigTIFF
+    (version 43) — IF_SAFER semantics (geotiff mod.rs:389-399) — and
+    the artifact round-trips through the native decoder, the geo-tag
+    walk, and PIL. Forced via a shrunken classic limit so the format
+    logic is tested without 4 GB of IO (the real >4 GB leg is
+    test_cog_bigtiff_over_4gb, marked slow)."""
     import cubesat_apds_tpu.io.cog as cog
+    from cubesat_apds_tpu.io.native import read_tiff_native
+    from cubesat_apds_tpu.io.tiff import _read_tags
 
     monkeypatch.setattr(cog, "_CLASSIC_LIMIT", 1000)
-    bands = rng.integers(0, 256, (1, 600, 600), np.uint8)
-    with pytest.raises(ValueError, match="BigTIFF"):
-        cog.write_cog(str(tmp_path / "big.tif"), bands, [0, 1, 0, 0, 0, 1])
+    gt = [10.0, 1e-5, 0, 56.0, 0, -1e-5]
+    for dtype in (np.uint8, np.float32):
+        img = (rng.random((700, 900, 2)) * 200).astype(dtype)
+        bands = np.moveaxis(img, -1, 0)
+        p = str(tmp_path / f"big_{dtype.__name__}.tif")
+        cog.write_cog(p, bands, gt, epsg=4326)
+        with open(p, "rb") as f:
+            assert f.read(4)[2] == 43          # BigTIFF magic
+        arr = read_tiff_native(p)
+        assert arr is not None, "native decoder refused BigTIFF"
+        np.testing.assert_array_equal(arr, img)
+        tags = _read_tags(p)
+        assert 33550 in tags and 33922 in tags
+        g = read_geotiff(p)
+        np.testing.assert_allclose(g.geotransform, gt)
+        np.testing.assert_array_equal(g.bands, bands.astype(np.float32))
+    # PIL interop (Pillow reads BigTIFF).
+    from PIL import Image
+
+    p1 = str(tmp_path / "big1.tif")
+    one = (rng.random((1, 700, 900)) * 200).astype(np.uint8)
+    cog.write_cog(p1, one, gt, epsg=4326)
+    with Image.open(p1) as im:
+        np.testing.assert_array_equal(np.asarray(im), one[0])
+    # Below the limit stays classic (version 42).
+    monkeypatch.setattr(cog, "_CLASSIC_LIMIT", (1 << 32) - (1 << 20))
+    p2 = str(tmp_path / "classic.tif")
+    cog.write_cog(p2, one, gt, epsg=4326)
+    with open(p2, "rb") as f:
+        assert f.read(4)[2] == 42
+
+
+@pytest.mark.slow
+def test_cog_bigtiff_over_4gb(tmp_path, rng):
+    """The real >4 GB leg: a 70k² compressible mosaic streams through
+    write_cog (raster-access protocol, never whole-image RAM), lands as
+    an actual BigTIFF past 4 GB of tile data, and windowed reads through
+    the native decoder return the exact source pixels."""
+    import cubesat_apds_tpu.io.cog as cog
+    from cubesat_apds_tpu.io.tiff import LazyGeoRaster
+
+    n = 70_000   # 70k² uint8 = 4.9 GB of raster
+
+    class Source:
+        """Rows are a cheap deterministic function of (x, y); written
+        with compression='none' (COMPRESS=NONE analogue) so the >4 GB
+        file materializes at IO speed — one host core zlib-compressing
+        4.9 GB would dominate the suite (~22 MB/s measured)."""
+        width = n
+        height = n
+        n_bands = 1
+
+        def read_bands_window(self, band_idxs, y0, y1, x0, x1):
+            xs = np.arange(x0, x1, dtype=np.uint32)
+            ys = np.arange(y0, y1, dtype=np.uint32)
+            v = (xs[None, :] * 2654435761 + ys[:, None] * 40503) >> 8
+            return (v & 0xFF).astype(np.uint8)[None]
+
+    gt = [10.0, 1e-6, 0, 56.0, 0, -1e-6]
+    p = str(tmp_path / "huge.tif")
+    cog.write_cog(p, Source(), gt, epsg=4326, overviews=False,
+                  compression="none")
+    assert os.path.getsize(p) > (1 << 32), os.path.getsize(p)
+    with open(p, "rb") as f:
+        assert f.read(4)[2] == 43
+    lazy = LazyGeoRaster(p, apply_nodata=False)
+    assert (lazy.width, lazy.height) == (n, n)
+    src = Source()
+    # Windows at the four corners + center, including past-4GB offsets.
+    for y0, x0 in [(0, 0), (0, n - 600), (n - 600, 0),
+                   (n - 600, n - 600), (n // 2, n // 2)]:
+        got = lazy.read_bands_window([0], y0, y0 + 500, x0, x0 + 500)
+        want = src.read_bands_window([0], y0, y0 + 500, x0, x0 + 500)
+        np.testing.assert_array_equal(got.astype(np.uint8), want)
+    lazy.close()
