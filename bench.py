@@ -139,19 +139,29 @@ def main():
         rtts.append(time.perf_counter() - t0)
     rtt = float(np.median(rtts))
 
-    iters = 200
-    _note(f"timed loop: {iters} iterations (rtt={rtt * 1e3:.0f} ms)")
-    t0 = time.perf_counter()
-    run(iters, entropy)
-    dt = time.perf_counter() - t0 - rtt
-    fps = iters / dt
-    _note(f"done: {dt * 1e3:.1f} ms for {iters} iters")
+    # N repeats → median ± spread, so run-to-run tunnel noise is visible
+    # in the artifact itself (VERDICT r4 next #7: the r3→r4 "185.6 vs
+    # 180.0" question should be answerable from the JSON, not judgment).
+    n_reps = 5
+    iters = 80
+    _note(f"timed: {n_reps} reps x {iters} iters (rtt={rtt * 1e3:.0f} ms)")
+    fps_reps = []
+    for rep in range(n_reps):
+        t0 = time.perf_counter()
+        run(iters, entropy + rep * iters)
+        dt = time.perf_counter() - t0 - rtt
+        fps_reps.append(iters / dt)
+        _note(f"rep {rep}: {fps_reps[-1]:.1f} fps")
+    fps = float(np.median(fps_reps))
+    spread = float(np.max(fps_reps) - np.min(fps_reps))
 
     print(json.dumps({
         "metric": "e2e_localize_512px_10kdb_fps",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 100.0, 3),
+        "spread": round(spread, 2),
+        "reps": [round(f, 2) for f in fps_reps],
     }))
 
 

@@ -64,6 +64,18 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    # Markers carving out fast subsets (the full suite is ~40 min on the
+    # virtual CPU mesh; `-m "not slow"` drops the expensive end-to-end
+    # fixtures, `-m "not multiprocess"` the real-2-process tests):
+    config.addinivalue_line(
+        "markers", "slow: minutes-scale end-to-end fixture "
+        "(preprocess of a full synthetic world, photometric sweeps)")
+    config.addinivalue_line(
+        "markers", "multiprocess: spawns real OS processes "
+        "(distributed mesh, store-lock contention)")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)

@@ -227,6 +227,7 @@ def test_chessboard_photometric_degradations():
         assert err.max() < 1.0, f"{name}: max corner error {err.max()}"
 
 
+@pytest.mark.slow
 def test_chessboard_perspective_plus_degradations():
     """Perspective-warped boards × degradations: ≥5/6 found per
     condition (measured: 6/6 on every condition — the bound leaves one

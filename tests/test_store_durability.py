@@ -269,6 +269,7 @@ append_binary_store(sys.argv[1], store, lock_timeout=60.0)
 """
 
 
+@pytest.mark.multiprocess
 def test_two_process_concurrent_append(rng, tmp_path):
     """Two real processes appending at once: the flock serializes them,
     each re-reads the manifest under the lock, and BOTH batches land."""
