@@ -78,7 +78,7 @@ def mode_config(mode: str, capacity: int = 2048):
         akaze=AkazeConfig(capacity=capacity, **kw),
         match=MatchConfig(ratio=0.75),
         ransac=RansacConfig(num_hypotheses=256),
-        pnp=PnPConfig(num_hypotheses=64))
+        pnp=PnPConfig(num_hypotheses=128))
 
 
 def build_world(seed: int = 2026, texture: str = "rects"):

@@ -139,12 +139,46 @@ def main():
         # = 55 fps vs ~5.4 ms of compute), which a local host feeds
         # trivially.
         from cubesat_apds_tpu.pipelines.localize import (
-            localize_frame_jit, localize_frame_pruned_jit)
+            _pruned_back_half, localize_frame_jit,
+            localize_frame_pruned_jit, localize_from_features)
         from cubesat_apds_tpu.pipelines.stream import _pack_outputs
 
         import jax
 
-        if args.pruned:
+        B = max(args.batch, 1)
+        if B > 1:
+            # Micro-batched loopback: B frames per dispatch amortize the
+            # ~3 ms per-dispatch overhead the 200-frame single-step
+            # loopback still pays (PERF.md round 5) — the same
+            # batch-ladder + vmapped-back-half shape the streaming
+            # surface uses.
+            from cubesat_apds_tpu.ops.features.akaze import \
+                detect_and_compute_batch
+
+            @jax.jit
+            def step(fd, salt):          # fd [B, H, W] uint8
+                f = fd.astype(jnp.float32) / 255.0 \
+                    + salt * jnp.float32(1e-7)
+                feats = detect_and_compute_batch(f, config.akaze)
+
+                def one(ft):
+                    if args.pruned:
+                        pr = _pruned_back_half(ft, f.shape[1:], db, cam,
+                                               config, True, 0.25)
+                        r = pr.result
+                    else:
+                        r = localize_from_features(ft, db, cam, config,
+                                                   True)
+                    return _pack_outputs(r.homography, r.num_matches,
+                                         r.num_keypoints, r.pose)
+
+                # Chain a SCALAR: accumulating the packed vectors
+                # eagerly through the axon relay measured ~7 ms per
+                # [23]-element add (a relay dispatch artifact, not a
+                # product cost — the real stream fetches per batch);
+                # the packed outputs are still computed in-graph.
+                return jax.vmap(one)(feats).sum()
+        elif args.pruned:
             @jax.jit
             def step(fd, salt):
                 f = fd.astype(jnp.float32) / 255.0 \
@@ -153,7 +187,7 @@ def main():
                                                solve_pose=True)
                 r = pr.result
                 return _pack_outputs(r.homography, r.num_matches,
-                                     r.num_keypoints, r.pose)
+                                     r.num_keypoints, r.pose).sum()
         else:
             @jax.jit
             def step(fd, salt):
@@ -162,33 +196,41 @@ def main():
                 r = localize_frame_jit(f, db, cam, config,
                                        solve_pose=True)
                 return _pack_outputs(r.homography, r.num_matches,
-                                     r.num_keypoints, r.pose)
+                                     r.num_keypoints, r.pose).sum()
 
         u8 = (np.clip(base, 0, 1) * 255).astype(np.uint8)
-        pool = [jnp.asarray(np.roll(u8, 3 * i + 1, axis=1))
-                for i in range(8)]
+        if B > 1:
+            pool = [jnp.asarray(np.stack(
+                [np.roll(u8, 3 * (i * B + b) + 1, axis=1)
+                 for b in range(B)])) for i in range(8)]
+        else:
+            pool = [jnp.asarray(np.roll(u8, 3 * i + 1, axis=1))
+                    for i in range(8)]
         entropy = np.float32(time.time() % 1000.0)
-        float(step(pool[0], jnp.float32(entropy + 10_000)).sum())  # warm
+        float(step(pool[0], jnp.float32(entropy + 10_000)))  # warm
         rtts = []
         for i in range(5):
             t0 = time.perf_counter()
             float(jnp.asarray(np.float32(i)) + jnp.float32(1))
             rtts.append(time.perf_counter() - t0)
         rtt = float(np.median(rtts))
+        n_disp = max(args.frames // B, 1)
         t0 = time.perf_counter()
         acc = None
-        for i in range(args.frames):
+        for i in range(n_disp):
             out = step(pool[i % 8], jnp.float32(entropy + i))
             acc = out if acc is None else acc + out
-        total = float(acc.sum())                   # forces the chain
+        total = float(acc)                         # forces the chain
         wall = time.perf_counter() - t0 - rtt
+        n_frames = n_disp * B
         print(json.dumps({
             "bench": "stream_localize",
             "mode": "loopback_pruned" if args.pruned else "loopback",
-            "frames": args.frames,
+            "frames": n_frames,
+            "batch": B,
             "db_size": m,
-            "sustained_fps": round(args.frames / wall, 2),
-            "ms_per_frame": round(wall / args.frames * 1e3, 2),
+            "sustained_fps": round(n_frames / wall, 2),
+            "ms_per_frame": round(wall / n_frames * 1e3, 2),
             "descriptor_mode": args.descriptor_mode,
             "checksum": total,
         }))

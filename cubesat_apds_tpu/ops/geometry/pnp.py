@@ -254,9 +254,16 @@ def solve_pnp_ransac(corr: Correspondences, camera: CameraModel,
     err_final = _reproj_err_normalized(R_final, tvec, obj, uv_n)
     inliers = (err_final < thr2) & valid
     num_inl = jnp.sum(inliers.astype(jnp.int32))
-    # Reference errors out below 4 points (mod.rs:328-339); we report ok.
-    ok = (num_valid >= 4) & (num_inl >= 4) & jnp.all(jnp.isfinite(rvec)) & \
-        jnp.all(jnp.isfinite(tvec))
+    # Reference errors out below 4 points (mod.rs:328-339); we report
+    # ok. Beyond the bare >=4 (solvePnPRansac semantics), a CONSENSUS
+    # FLOOR: a pose supported by <5% of the valid correspondences is an
+    # answer from noise — measured live as a 4-of-166 "consensus" at
+    # 72° attitude error that would otherwise report ok (a RANSAC
+    # sample-budget miss in the coplanar+noise regime).
+    min_consensus = jnp.maximum(
+        4, (0.05 * num_valid.astype(jnp.float32)).astype(jnp.int32))
+    ok = (num_valid >= 4) & (num_inl >= min_consensus) & \
+        jnp.all(jnp.isfinite(rvec)) & jnp.all(jnp.isfinite(tvec))
     if up is not None:
         # Backstop: every selection stage was gated, but if nothing
         # physical survived, refuse rather than return the mirror.

@@ -53,7 +53,7 @@ def store_and_cfg(world):
                           orientation_mode="exact"),
         match=MatchConfig(ratio=0.75),
         ransac=RansacConfig(num_hypotheses=256),
-        pnp=PnPConfig(num_hypotheses=64))
+        pnp=PnPConfig(num_hypotheses=128))
     store, _ = preprocess(ds, config=cfg, amount_lod=1)
     return store, cfg
 
@@ -168,7 +168,7 @@ def test_terrain_pose_accuracy(terrain_world):
                           orientation_mode="exact"),
         match=MatchConfig(ratio=0.75),
         ransac=RansacConfig(num_hypotheses=256),
-        pnp=PnPConfig(num_hypotheses=64))
+        pnp=PnPConfig(num_hypotheses=128))
     store, _ = preprocess(ds, config=cfg, amount_lod=1)
     gray = mosaic.bands[0] / 255.0
 
